@@ -1,0 +1,123 @@
+"""Batched link extraction from HTML and raw text.
+
+Reference semantics: ``extract_links`` / ``extract_links_from_text``
+(``darc/parse.py:305-374``) — every ``href``/``src`` attribute joined
+against the page URL, plus regex extraction of bare URLs / emails /
+bitcoin / ethereum addresses from text (URL pattern table
+``darc/parse.py:40-59``; extensible via the equivalent of
+``DARC_URL_PAT`` through :func:`register_url_pattern`).
+
+Spark-first shape (north rule: *batch* extraction, no per-row Python on
+the hot path): one Arrow-batched pandas UDF per document batch, emitting
+``array<string>`` of absolute URLs, exploded downstream. The reference
+parses with bs4/html5lib; that library is not in this container and a
+full HTML5 tree is unnecessary for attribute harvesting — a compiled
+attribute regex handles the href/src contract. urljoin is stdlib and
+never throws here (tolerant wrappers, ``darc/link.py:85-106``).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+# href/src attribute values, single/double-quoted or bare
+_ATTR_RE = re.compile(
+    r"""(?:href|src)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'<>`]+))""",
+    re.IGNORECASE,
+)
+
+# Text URL patterns — same contract as the reference's URL_PAT table
+# (darc/parse.py:40-59; the http/mail patterns follow the public py-gfm
+# autolink/automail expressions the reference cites).
+URL_PAT: dict[str, re.Pattern[str]] = {
+    "http": re.compile(
+        r"(?i)\b(?P<url>(?:(?:ftp|https?|wss?|irc)://|www\d{0,3}[.])"
+        r"(?:[^\s()<>]+|\(([^\s()<>]+|(\([^\s()<>]+\)))*\))+"
+        r"(?:\(([^\s()<>]+|(\([^\s()<>]+\)))*\)|[^\s`!()\[\]{};:'\".,<>?«»“”‘’]))",
+        re.ASCII,
+    ),
+    "mailto:": re.compile(
+        r"(?i)\b(?P<url>(?:mailto:)?[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+)\b", re.ASCII
+    ),
+    "bitcoin": re.compile(
+        r"(?i)\b(?P<url>(?:(?:bitcoin|btc):)?[13][a-z0-9]{27,34})\b", re.ASCII
+    ),
+    "ethereum": re.compile(
+        r"(?i)\b(?P<url>(?:(?:ethereum|eth):)?(?:0x)?[0-9a-f]{40})\b", re.ASCII
+    ),
+}
+
+
+def register_url_pattern(scheme: str, pattern: str, flags: int = 0) -> None:
+    """Extension point mirroring ``DARC_URL_PAT`` (darc/parse.py:58-59)."""
+    URL_PAT[scheme] = re.compile(pattern, re.RegexFlag(flags) | re.ASCII)
+
+
+def _safe_urljoin(base: str, href: str) -> str:
+    try:
+        return urljoin(base, href)
+    except ValueError:
+        return href
+
+
+def extract_hrefs_one(page_url: str, html: str) -> list[str]:
+    """All href/src targets of one document, absolutized against page_url."""
+    if not html:
+        return []
+    out = []
+    for m in _ATTR_RE.finditer(html):
+        href = m.group(1) or m.group(2) or m.group(3)
+        if href is None:
+            continue
+        out.append(_safe_urljoin(page_url, href))
+    return out
+
+
+def extract_text_urls_one(text: str) -> list[str]:
+    """Bare URLs/emails/coin addresses in text (darc/parse.py:340-374).
+
+    The reference iterates whitespace-split parts; the patterns contain no
+    whitespace so finditer over parts == finditer over the whole string.
+    A matched URL with no scheme gets the pattern's scheme prefixed.
+    """
+    if not text:
+        return []
+    out = []
+    for part in text.split():
+        for scheme, pattern in URL_PAT.items():
+            for m in pattern.finditer(part):
+                url = m.group("url")
+                try:
+                    has_scheme = bool(urlsplit(url).scheme)
+                except ValueError:
+                    has_scheme = False
+                if not has_scheme:
+                    url = f"{scheme}:{url}"
+                out.append(url)
+    return out
+
+
+def extract_links_batch(
+    page_urls: pd.Series, htmls: pd.Series, include_text: bool = True
+) -> pd.Series:
+    """Batch: (page_url, html) → list of absolute extracted URLs."""
+    res = []
+    for url, html in zip(page_urls.astype(str), htmls):
+        html = html if isinstance(html, str) else ""
+        links = extract_hrefs_one(url, html)
+        if include_text:
+            # reference extracts from soup.text; tag-stripped text
+            text = re.sub(r"<[^>]*>", " ", html)
+            links.extend(extract_text_urls_one(text))
+        res.append(links)
+    return pd.Series(res, index=page_urls.index, dtype=object)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(page_urls: pd.Series, htmls: pd.Series) -> pd.Series:
+    return extract_links_batch(page_urls, htmls)

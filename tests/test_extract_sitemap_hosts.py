@@ -1,0 +1,115 @@
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+
+from darc_spark.functions.extract import (
+    extract_hrefs_one,
+    extract_links_batch,
+    extract_text_urls_one,
+)
+from darc_spark.functions.hosts import extract_i2p_hosts
+from darc_spark.functions.sitemap import parse_sitemap_one, parse_sitemaps_batch
+
+
+def test_extract_hrefs_absolutizes():
+    html = (
+        '<a href="/rel">r</a> <a href=\'http://abs.example/x\'>a</a>'
+        '<img src="img/pic.png"> <script src=bare.js></script>'
+    )
+    out = extract_hrefs_one("http://base.example/dir/page.html", html)
+    assert out == [
+        "http://base.example/rel",
+        "http://abs.example/x",
+        "http://base.example/dir/img/pic.png",
+        "http://base.example/dir/bare.js",
+    ]
+
+
+def test_extract_text_urls_schemes_added():
+    text = "visit www.example.com or mail bob@corp.example now"
+    out = extract_text_urls_one(text)
+    assert "http:www.example.com" in out  # reference prefixes bare scheme name
+    assert any(u.startswith("mailto:") and "bob@corp.example" in u for u in out)
+
+
+def test_extract_text_bitcoin_ethereum():
+    text = "pay 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa or 0x32Be343B94f860124dC4fEe278FDCBD38C102D88"
+    out = extract_text_urls_one(text)
+    assert any(u.startswith("bitcoin:1A1zP1") for u in out)
+    assert any(u.startswith("ethereum:0x32Be") for u in out)
+
+
+def test_extract_links_batch_combined():
+    urls = pd.Series(["http://h/p"])
+    htmls = pd.Series(['<a href="/x">see www.other.example/y</a>'])
+    out = extract_links_batch(urls, htmls)[0]
+    assert "http://h/x" in out
+    assert any("www.other.example/y" in u for u in out)
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://h.example/a</loc></url>
+  <url><loc>/rel/b</loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://h.example/s1.xml</loc></sitemap>
+  <sitemap><loc>s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_urlset():
+    pages, children = parse_sitemap_one("http://h.example/sitemap.xml", SITEMAP)
+    assert pages == ["http://h.example/a", "http://h.example/rel/b"]
+    assert children == []
+
+
+def test_parse_sitemap_index_and_gzip():
+    gz = gzip.compress(SITEMAP_INDEX.encode())
+    pages, children = parse_sitemap_one("http://h.example/sitemap.xml", gz)
+    assert pages == []
+    assert children == ["http://h.example/s1.xml", "http://h.example/s2.xml"]
+
+
+def test_parse_sitemap_garbage():
+    assert parse_sitemap_one("http://h/x.xml", "<<<not xml") == ([], [])
+
+
+def test_parse_sitemaps_batch():
+    out = parse_sitemaps_batch(
+        pd.Series(["http://h/s.xml", "http://h/i.xml"]),
+        pd.Series([SITEMAP, SITEMAP_INDEX]),
+    )
+    assert len(out) == 4
+    assert set(out[out.is_index]["loc"]) == {
+        "http://h.example/s1.xml",  # absolute loc kept as-is
+        "http://h/s2.xml",  # relative loc joined against the index URL
+    }
+
+
+HOSTS_TXT = """# I2P hosts
+good.i2p=b64keydata
+bad.example.com=key
+  spaced.i2p=xx
+plain-no-eq.i2p
+#comment.i2p=zz
+
+"""
+
+
+def test_extract_i2p_hosts_native(spark):
+    df = spark.createDataFrame([(HOSTS_TXT,)], "text string")
+    rows = extract_i2p_hosts(df).select("host", "url").collect()
+    got = {(r["host"], r["url"]) for r in rows}
+    assert got == {
+        ("good.i2p", "http://good.i2p"),
+        ("spaced.i2p", "http://spaced.i2p"),
+        ("plain-no-eq.i2p", "http://plain-no-eq.i2p"),
+    }
+    # and the plan is UDF-free
+    plan = extract_i2p_hosts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
