@@ -1,0 +1,454 @@
+"""The frontier: priority queue + URL-seen dedup + lease claims.
+
+Re-expresses the reference's queue semantics (``darc/db.py:16-31``) as
+append-only event tables over :class:`~darc_spark.sources.store.SnapshotStore`
+— the Spark-idiomatic shape (immutable segments + merge-on-read +
+compaction) instead of Redis in-place re-scoring:
+
+=====================  =====================================================
+reference semantic      here
+=====================  =====================================================
+ZADD NX enqueue         bloom/cuckoo prefilter + ``left_anti`` vs url_seen
+(darc/db.py:555-568)    then append (insert-if-absent, exact)
+min-score batch claim   per-host deterministic top-k window (politeness)
+(darc/db.py:926-977)
+visibility lease        ``claims`` event (lease_until round); expired lease
+(darc/db.py:970-972)    ⇒ re-claimable (at-least-once)
+requeue on failure      new attempt event, retry_count+1, not_before bumped
+(darc/crawl.py:227-230)
+TIME_CACHE re-fetch     ``done`` event with revisit_after round
+(darc/const.py:134-139)
+drop (LinkNoReturn)     ``dropped`` event + url_seen tombstone + cuckoo
+(darc/db.py:321-467)    delete (URL may legitimately reappear later)
+=====================  =====================================================
+
+State resolution is merge-on-read: the *latest attempt per name* wins,
+computed with one window per claim; ``compact()`` folds events down so
+read cost stays bounded (the Iceberg-MERGE equivalent).
+
+Scale: every per-name resolution partitions by ``name`` (uniform sha256
+— no skew); per-host operations go through the salted politeness window
+(:mod:`darc_spark.operators.politeness`). The url_seen prefilter avoids
+joining the 10^10-row seen set for the typical all-new extraction batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from darc_spark.operators import politeness
+from darc_spark.operators.approx_filter import (
+    BloomFilter,
+    CuckooFilter,
+    load_filter,
+)
+from darc_spark.schema import FRONTIER
+from darc_spark.sources.store import SnapshotStore
+
+CLAIMS = T.StructType(
+    FRONTIER.fields
+    + [
+        T.StructField("claim_round", T.LongType(), False),
+        T.StructField("lease_until", T.LongType(), False),
+    ]
+)
+DONE = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("round", T.LongType(), False),
+        T.StructField("revisit_after", T.LongType(), False),
+    ]
+)
+DROPPED = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("round", T.LongType(), False),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+URL_SEEN_EVENTS = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("seen_round", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), False),
+    ]
+)
+SEEN_FILTER = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+_LINK_COLS = ["name", "url", "scheme", "proxy", "host", "hostname", "backref"]
+
+# darc defaults: MAX_POOL=100 (darc/db.py:99-101), TIME_CACHE lease
+DEFAULT_POOL = 100
+DEFAULT_LEASE = 3  # rounds; reference: 60 s default / 30 d deployed
+NEVER = 1 << 60
+
+
+class Frontier:
+    """One staged queue (requests or selenium) over a SnapshotStore."""
+
+    def __init__(
+        self,
+        store: SnapshotStore,
+        stage: str = "requests",
+        n_filter_buckets: int = 16,
+        filter_kind: str = "cuckoo",
+        filter_capacity_per_bucket: int = 1 << 16,
+    ) -> None:
+        self.store = store
+        self.stage = stage
+        self.t_frontier = f"frontier_{stage}"
+        self.t_claims = f"claims_{stage}"
+        self.t_done = f"done_{stage}"
+        self.t_dropped = f"dropped_{stage}"
+        self.t_seen = f"url_seen_{stage}"
+        self.t_filter = f"seen_filter_{stage}"
+        store.schemas.setdefault(self.t_frontier, FRONTIER)
+        store.schemas.setdefault(self.t_claims, CLAIMS)
+        store.schemas.setdefault(self.t_done, DONE)
+        store.schemas.setdefault(self.t_dropped, DROPPED)
+        store.schemas.setdefault(self.t_seen, URL_SEEN_EVENTS)
+        store.schemas.setdefault(self.t_filter, SEEN_FILTER)
+        self.n_filter_buckets = n_filter_buckets
+        self.filter_kind = filter_kind
+        self.filter_capacity = filter_capacity_per_bucket
+
+    # -- seen-set ------------------------------------------------------------
+    def seen(self) -> DataFrame:
+        """Names currently in the seen set (tombstone-resolved)."""
+        ev = self.store.read(self.t_seen)
+        w = Window.partitionBy("name").orderBy(F.col("seen_round").desc())
+        return (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.col("deleted"))
+            .drop("_rn", "deleted")
+        )
+
+    def _split_by_filter(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(definitely_new, maybe_seen) via the per-bucket approx filter."""
+        filters = {
+            int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
+            for r in self.store.read(self.t_filter).collect()
+        }
+        keyed = candidates.withColumn("_key", F.xxhash64("name")).withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets)).cast("int"),
+        )
+        if not filters:
+            return keyed.drop("_key", "_bucket"), keyed.drop("_key", "_bucket").limit(0)
+
+        n_buckets = self.n_filter_buckets
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(keys: pd.Series, buckets: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.ones(len(keys), dtype=bool)  # missing filter ⇒ maybe
+            kv = keys.to_numpy(dtype="int64").view("uint64")
+            bv = buckets.to_numpy(dtype="int64")
+            for b in range(n_buckets):
+                mask = bv == b
+                if not mask.any():
+                    continue
+                payload = filters.get(b)
+                if payload is None and b in filters:
+                    continue  # saturated bucket stays "maybe"
+                if b not in filters:
+                    out[mask] = False  # empty bucket: definitely new
+                    continue
+                flt = load_filter(payload)
+                out[mask] = flt.might_contain(kv[mask])
+            return pd.Series(out, index=keys.index)
+
+        flagged = keyed.withColumn("_maybe", maybe_seen("_key", "_bucket"))
+        new = flagged.filter(~F.col("_maybe")).drop("_key", "_bucket", "_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_key", "_bucket", "_maybe")
+        return new, maybe
+
+    def _update_filter(self, added: DataFrame, removed: DataFrame | None = None) -> None:
+        """Distributed per-bucket filter maintenance via cogroup."""
+        kind, capacity = self.filter_kind, self.filter_capacity
+        deltas = added.select(
+            F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))
+            .cast("int")
+            .alias("bucket"),
+            F.xxhash64("name").alias("key"),
+            F.lit(False).alias("remove"),
+        )
+        if removed is not None:
+            deltas = deltas.unionByName(
+                removed.select(
+                    F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))
+                    .cast("int")
+                    .alias("bucket"),
+                    F.xxhash64("name").alias("key"),
+                    F.lit(True).alias("remove"),
+                )
+            )
+        current = self.store.read(self.t_filter)
+
+        def update(fdf: pd.DataFrame, kdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            if len(kdf) == 0:
+                return fdf[["bucket", "payload", "n"]] if len(fdf) else pd.DataFrame(
+                    columns=["bucket", "payload", "n"]
+                )
+            bucket = int(kdf["bucket"].iloc[0])
+            payload = None
+            n = 0
+            if len(fdf):
+                payload = fdf["payload"].iloc[0]
+                n = int(fdf["n"].iloc[0])
+                flt = load_filter(bytes(payload)) if payload is not None else None
+            elif kind == "cuckoo":
+                flt = CuckooFilter.for_capacity(capacity)
+            else:
+                flt = BloomFilter.for_capacity(capacity)
+            keys = kdf["key"].to_numpy(dtype="int64").view("uint64")
+            rem = kdf["remove"].to_numpy(dtype=bool)
+            ok = True
+            if flt is not None:
+                add_keys = keys[~rem]
+                if len(add_keys):
+                    if isinstance(flt, CuckooFilter):
+                        ok = flt.insert(add_keys)
+                    else:
+                        flt.add(add_keys)
+                del_keys = keys[rem]
+                if len(del_keys):
+                    if isinstance(flt, CuckooFilter):
+                        flt.delete(del_keys)
+                    else:
+                        ok = False  # bloom cannot delete → degrade bucket
+            n += int((~rem).sum()) - int(rem.sum())
+            out_payload = flt.to_bytes() if (flt is not None and ok) else None
+            return pd.DataFrame(
+                [{"bucket": bucket, "payload": out_payload, "n": n}]
+            )
+
+        updated = (
+            current.groupBy("bucket")
+            .cogroup(deltas.groupBy("bucket"))
+            .applyInPandas(update, SEEN_FILTER)
+        )
+        self.store.replace(self.t_filter, updated)
+
+    # -- queue ops -------------------------------------------------------------
+    def enqueue_nx(
+        self,
+        links: DataFrame,
+        current_round: int,
+        priority: int = 0,
+        use_filter: bool = True,
+    ) -> None:
+        """Insert-if-absent (ZADD NX semantics, darc/db.py:555-568)."""
+        candidates = links.select(*_LINK_COLS).dropDuplicates(["name"])
+        if use_filter:
+            definitely_new, maybe = self._split_by_filter(candidates)
+            confirmed_new = maybe.join(self.seen().select("name"), "name", "left_anti")
+            fresh = definitely_new.unionByName(confirmed_new)
+        else:
+            fresh = candidates.join(self.seen().select("name"), "name", "left_anti")
+        rows = (
+            fresh.withColumn("priority", F.lit(priority).cast("int"))
+            .withColumn("not_before", F.lit(current_round).cast("long"))
+            .withColumn("retry_count", F.lit(0).cast("int"))
+            .withColumn("enqueue_round", F.lit(current_round).cast("long"))
+            .select([f.name for f in FRONTIER.fields])
+        )
+        self.store.append(self.t_frontier, rows)
+        # derive url_seen + filter updates from the *written* segment —
+        # one computation of the anti-join, no cache/recompute divergence
+        written = self._staged_tail(self.t_frontier)
+        self.store.append(
+            self.t_seen,
+            written.select(
+                "name",
+                "url",
+                "hostname",
+                F.lit(current_round).cast("long").alias("seen_round"),
+                F.lit(False).alias("deleted"),
+            ),
+        )
+        if use_filter:
+            self._update_filter(written.select("name"))
+
+    def _staged_tail(self, table: str) -> DataFrame:
+        import os
+
+        rel = self.store._staged_appends[table][-1]
+        return self.store.spark.read.schema(self.store.schemas[table]).parquet(
+            os.path.join(self.store.root, rel)
+        )
+
+    def requeue(
+        self, batch: DataFrame, current_round: int, delay: int = 1
+    ) -> None:
+        """Failure retry (darc/crawl.py:227-230): new attempt, later round."""
+        rows = (
+            batch.select(*_LINK_COLS, "priority", "retry_count")
+            .withColumn("retry_count", F.col("retry_count") + 1)
+            .withColumn(
+                "not_before", F.lit(current_round + delay).cast("long")
+            )
+            .withColumn("enqueue_round", F.lit(current_round).cast("long"))
+            .select([f.name for f in FRONTIER.fields])
+        )
+        self.store.append(self.t_frontier, rows)
+
+    def pending(
+        self,
+        current_round: int,
+        ignore_leases: bool = False,
+        ignore_not_before: bool = False,
+    ) -> DataFrame:
+        """Claimable rows now: latest attempt, not done/dropped/leased."""
+        ev = self.store.read(self.t_frontier)
+        w = Window.partitionBy("name").orderBy(
+            F.col("enqueue_round").desc(), F.col("retry_count").desc()
+        )
+        latest = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        done = self.store.read(self.t_done).groupBy("name").agg(
+            F.min("revisit_after").alias("revisit_after")
+        )
+        latest = latest.join(done, "name", "left").filter(
+            F.col("revisit_after").isNull()
+            | (F.lit(current_round) >= F.col("revisit_after"))
+        ).drop("revisit_after")
+        dropped = self.store.read(self.t_dropped).groupBy("name").agg(
+            F.max("round").alias("drop_round")
+        )
+        latest = latest.join(dropped, "name", "left").filter(
+            F.col("drop_round").isNull()
+            | (F.col("enqueue_round") > F.col("drop_round"))
+        ).drop("drop_round")
+        if not ignore_leases:
+            leases = self.store.read(self.t_claims).groupBy("name").agg(
+                F.max("lease_until").alias("lease_until")
+            )
+            latest = latest.join(leases, "name", "left").filter(
+                F.col("lease_until").isNull() | (F.col("lease_until") <= current_round)
+            ).drop("lease_until")
+        if ignore_not_before:
+            return latest
+        return latest.filter(F.col("not_before") <= current_round)
+
+    def claim(
+        self,
+        current_round: int,
+        per_host: int = DEFAULT_POOL,
+        lease: int = DEFAULT_LEASE,
+        salt_shards: int = 8,
+        robots_delays: DataFrame | None = None,
+        hostname_state: DataFrame | None = None,
+    ) -> DataFrame:
+        """Claim a politeness-bounded batch and lease it (darc/db.py:944-977).
+
+        Returns the claimed batch as re-read from its committed-staging
+        segment, so downstream stages see exactly what was leased.
+        """
+        p = self.pending(current_round)
+        if robots_delays is not None and hostname_state is not None:
+            p = politeness.crawl_delay_gate(
+                p, hostname_state, robots_delays, current_round
+            )
+        batch = politeness.per_host_top_k(p, per_host, salt_shards=salt_shards)
+        rows = batch.withColumn(
+            "claim_round", F.lit(current_round).cast("long")
+        ).withColumn("lease_until", F.lit(current_round + lease).cast("long"))
+        self.store.append(self.t_claims, rows.select([f.name for f in CLAIMS.fields]))
+        return self._staged_tail(self.t_claims)
+
+    def mark_done(
+        self, names: DataFrame, current_round: int, revisit_after: int = NEVER
+    ) -> None:
+        self.store.append(
+            self.t_done,
+            names.select("name")
+            .withColumn("round", F.lit(current_round).cast("long"))
+            .withColumn("revisit_after", F.lit(revisit_after).cast("long")),
+        )
+
+    def drop(
+        self,
+        names: DataFrame,
+        current_round: int,
+        reason: str = "no-return",
+        update_filter: bool = True,
+    ) -> None:
+        """Permanent drop (LinkNoReturn → drop_requests, darc/db.py:406-417).
+
+        Tombstones url_seen and deletes from the cuckoo filter so a later
+        legitimate re-extraction can re-enqueue the URL (reference DELETEs
+        the name key, darc/db.py:435-440).
+        """
+        d = names.select("name", "url", "hostname")
+        self.store.append(
+            self.t_dropped,
+            d.select("name")
+            .withColumn("round", F.lit(current_round).cast("long"))
+            .withColumn("reason", F.lit(reason)),
+        )
+        self.store.append(
+            self.t_seen,
+            d.select(
+                "name",
+                "url",
+                "hostname",
+                F.lit(current_round).cast("long").alias("seen_round"),
+                F.lit(True).alias("deleted"),
+            ),
+        )
+        if update_filter and self.filter_kind == "cuckoo":
+            self._update_filter(
+                added=d.select("name").limit(0), removed=d.select("name")
+            )
+
+    # -- maintenance -------------------------------------------------------------
+    def compact(self, current_round: int) -> None:
+        """Fold event history into single segments (Iceberg compaction).
+
+        Keeps every undone/undropped latest attempt (including rows under
+        an active lease) and keeps active lease rows, so compaction is
+        state-transparent at any point in the crawl.
+        """
+        survivors = self.pending(
+            current_round, ignore_leases=True, ignore_not_before=True
+        )
+        self.store.replace(
+            self.t_frontier, survivors.select([f.name for f in FRONTIER.fields])
+        )
+        seen_now = self.seen()
+        self.store.replace(
+            self.t_seen,
+            seen_now.select("name", "url", "hostname", "seen_round").withColumn(
+                "deleted", F.lit(False)
+            ),
+        )
+        active = self.store.read(self.t_claims).filter(
+            F.col("lease_until") > current_round
+        )
+        self.store.replace(self.t_claims, active)
+
+    def metrics(self, current_round: int) -> dict[str, float]:
+        return {
+            "pending": float(self.pending(current_round).count()),
+            "seen": float(self.seen().count()),
+        }

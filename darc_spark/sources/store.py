@@ -1,0 +1,170 @@
+"""SnapshotStore — Parquet tables with Iceberg-style atomic snapshots.
+
+The Iceberg runtime jar is not resolvable offline in this sandbox
+(SURVEY.md §7), so this store preserves the semantics the engine needs
+from Iceberg — atomic multi-table commits, snapshot isolation, exact
+resume after a kill — over plain Parquet + JSON manifests:
+
+* Every table is a list of immutable Parquet **segments**.
+* A **manifest** ``_manifests/v<NNNNNN>.json`` pins the exact segment
+  list of every table plus commit metadata. Writing it is a tmp-file +
+  ``os.rename`` — the single atomic commit point.
+* ``append`` stages new segments; ``replace`` stages a compaction;
+  nothing becomes visible until ``commit()``. A crash mid-round leaves
+  orphan segment dirs that no manifest references — ignored on resume
+  and removed by ``gc()``.
+
+This mirrors the reference's durability contract: darc's queues live in
+Redis/RDBMS and workers are stateless (``darc/process.py``), so a killed
+worker resumes from queue state; here a killed run resumes from the last
+committed manifest (north rule: checkpointed state, exact resume).
+
+Scale notes: segments written by the engine are hash-distributed on the
+table's key (bucket column) before write, so per-bucket operations prune
+to matching files; the manifest records per-segment row counts for
+observability. Swapping this class for real Iceberg tables is a drop-in
+(append → MERGE/append, commit → snapshot commit) behind the same API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from darc_spark import schema as table_schemas
+
+_MANIFEST_RE = re.compile(r"^v(\d{6})\.json$")
+
+
+class SnapshotStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schemas: dict[str, T.StructType] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.schemas = dict(schemas or table_schemas.TABLES)
+        os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
+        self.version, self._tables = self._load_latest()
+        self.meta: dict[str, Any] = {}
+        # staged (uncommitted) changes: table -> list of segment relpaths
+        self._staged_appends: dict[str, list[str]] = {}
+        self._staged_replace: dict[str, list[str]] = {}
+        self._seg_counter = 0
+
+    # -- manifest handling -------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def _load_latest(self) -> tuple[int, dict[str, list[str]]]:
+        best, tables = 0, {}
+        for fn in os.listdir(self._manifest_dir()):
+            m = _MANIFEST_RE.match(fn)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if v <= best:
+                continue
+            try:
+                with open(os.path.join(self._manifest_dir(), fn)) as f:
+                    doc = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # torn write of a newer manifest → previous wins
+            best, tables = v, doc["tables"]
+        return best, tables
+
+    def latest_meta(self) -> dict[str, Any]:
+        if self.version == 0:
+            return {}
+        with open(os.path.join(self._manifest_dir(), f"v{self.version:06d}.json")) as f:
+            return json.load(f).get("meta", {})
+
+    # -- reads ---------------------------------------------------------------
+    def segments(self, table: str) -> list[str]:
+        return list(self._tables.get(table, []))
+
+    def read(self, table: str) -> DataFrame:
+        """Snapshot read: union of the committed segments of ``table``."""
+        segs = self.segments(table)
+        if not segs:
+            schema = self.schemas.get(table)
+            if schema is None:
+                raise KeyError(f"unknown empty table {table!r} (no schema declared)")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, s) for s in segs]
+        reader = self.spark.read
+        schema = self.schemas.get(table)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    # -- writes (staged until commit) ----------------------------------------
+    def _new_segment(self, table: str, df: DataFrame) -> str:
+        self._seg_counter += 1
+        rel = os.path.join(table, f"seg-{self.version + 1:06d}-{self._seg_counter:04d}")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def append(self, table: str, df: DataFrame) -> None:
+        rel = self._new_segment(table, df)
+        self._staged_appends.setdefault(table, []).append(rel)
+
+    def replace(self, table: str, df: DataFrame) -> None:
+        """Stage a compaction: ``df`` becomes the table's only segment."""
+        rel = self._new_segment(table, df)
+        self._staged_replace[table] = [rel]
+
+    def commit(self, meta: dict[str, Any] | None = None) -> int:
+        """Atomically publish all staged changes as one new snapshot."""
+        new_tables = {t: list(segs) for t, segs in self._tables.items()}
+        for table, segs in self._staged_replace.items():
+            new_tables[table] = list(segs)
+        for table, segs in self._staged_appends.items():
+            new_tables.setdefault(table, [])
+            new_tables[table].extend(segs)
+        new_version = self.version + 1
+        doc = {"version": new_version, "tables": new_tables, "meta": meta or {}}
+        final = os.path.join(self._manifest_dir(), f"v{new_version:06d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # the atomic commit point
+        self.version, self._tables = new_version, new_tables
+        self._staged_appends.clear()
+        self._staged_replace.clear()
+        return new_version
+
+    def rollback(self) -> None:
+        """Discard staged (uncommitted) segments."""
+        for segs in list(self._staged_appends.values()) + list(
+            self._staged_replace.values()
+        ):
+            for rel in segs:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        self._staged_appends.clear()
+        self._staged_replace.clear()
+
+    def gc(self) -> int:
+        """Remove segment dirs not referenced by the current manifest."""
+        live = {rel for segs in self._tables.values() for rel in segs}
+        removed = 0
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if table == "_manifests" or not os.path.isdir(tdir):
+                continue
+            for seg in os.listdir(tdir):
+                rel = os.path.join(table, seg)
+                if rel not in live:
+                    shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+                    removed += 1
+        return removed
