@@ -241,18 +241,24 @@ def robots_rules_rows(
 
 
 def can_fetch_batch(
-    urls: pd.Series, policies: pd.Series, useragent: str = "*"
+    urls: pd.Series,
+    policies: pd.Series,
+    useragent: str = "*",
+    statuses: pd.Series | None = None,
 ) -> pd.Series:
-    """Vectorized gate: (url, per-host policy text) → allowed?
+    """Vectorized gate: (url, per-host policy text[, fetch status]) → allowed?
 
     ``policies`` carries the raw robots text per row (joined in from the
     per-host dim; None/NaN ⇒ no robots ⇒ allowed). Root path is always
-    allowed (darc/parse.py:171-173). Policies are parsed once per unique
-    text within the batch — one host's policy never reparses per row.
+    allowed — checked BEFORE everything else (darc/parse.py:171-173).
+    Status semantics mirror ``read()``: 401/403 ⇒ disallow all, other
+    4xx ⇒ allow all. Policies are parsed once per unique text within the
+    batch — one host's policy never reparses per row.
     """
     cache: dict[str, RobotsPolicy] = {}
+    codes = statuses if statuses is not None else pd.Series([200] * len(urls))
     res = []
-    for url, text in zip(urls.astype(str), policies):
+    for url, text, code in zip(urls.astype(str), policies, codes):
         try:
             path = urlparse(url).path
         except ValueError:
@@ -260,7 +266,11 @@ def can_fetch_batch(
         if path in ("", "/"):
             res.append(True)
             continue
-        if not isinstance(text, str) or not text:
+        code = int(code) if pd.notna(code) else 200
+        if code in (401, 403):
+            res.append(False)
+            continue
+        if 400 <= code < 500 or not isinstance(text, str) or not text:
             res.append(True)
             continue
         policy = cache.get(text)

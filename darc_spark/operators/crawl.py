@@ -1,0 +1,629 @@
+"""The crawl loop — darc's two-worker round pipeline, Spark-first.
+
+One round = one deterministic batch pipeline over snapshot state
+(reference: ``process_crawler``/``process_loader`` round loops,
+``darc/process.py:78-167``; per-link flow ``darc/crawl.py:44-354``):
+
+  claim (politeness window) → claim-time filters (drop) → new-host gate
+  (robots/sitemap/hosts.txt) → robots gate → fetch+extract (mapInPandas)
+  → route extracted links (special sinks / filters / enqueue-NX) →
+  done / requeue / drop → lineage edges + metrics → snapshot commit.
+
+Stage 2 (``selenium``/loader queue) mirrors darc's render worker: pages
+promoted on HTTP-ok re-fetch, their extractions feed back into the
+requests queue (``darc/crawl.py:349``).
+
+Semantic equivalences vs the reference (asserted by the e2e oracle):
+
+* success leaves the row invisible until ``revisit`` rounds pass — the
+  reference never marks "done"; its claim lease (re-score to
+  now+TIME_CACHE, ``darc/db.py:970-972``) IS the done state.
+* failed HTML responses still extract + enqueue links (the reference
+  extracts before the ``response.ok`` check, ``darc/crawl.py:222-230``).
+* robots-disallowed rows are neither requeued nor dropped — they stay
+  leased and retry after expiry (``darc/crawl.py:168-170`` just returns).
+* special-scheme links go to their sink and never enter the queue
+  (net-equivalent to the reference's enqueue→claim→LinkNoReturn→drop
+  cycle; final queue/seen state identical, one round earlier).
+* every mutation of one round commits atomically; a killed run resumes
+  at the last committed round with identical state (north rule).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from darc_spark.functions.canon import with_parsed_link
+from darc_spark.functions.robots import can_fetch_batch, parse_robots, robots_rules_rows
+from darc_spark.functions.sitemap import parse_sitemap_one
+from darc_spark.operators.fetch import run_fetch
+from darc_spark.operators.filters import (
+    match_host_drop,
+    match_mime_drop,
+    match_proxy_drop,
+)
+from darc_spark.operators.frontier import Frontier
+from darc_spark.registry import HOOKS, WorkerBreak
+from darc_spark.schema import EDGES, FETCHES, HOSTNAME_STATE, METRICS, SPECIAL_LINKS
+from darc_spark.sources.store import SnapshotStore
+from darc_spark.sources.synth import SynthWeb
+
+ROBOTS_DOCS = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("status_code", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("fetch_round", T.LongType(), False),
+    ]
+)
+
+CRAWLABLE_PROXIES = ("null", "tor", "tor2web", "i2p", "zeronet", "freenet")
+CRAWLABLE_SCHEMES = ("http", "https")
+
+
+@dataclass
+class CrawlConfig:
+    per_host: int = 8  # politeness budget per round (MAX_POOL analogue)
+    lease: int = 3  # visibility-timeout rounds (TIME_CACHE analogue)
+    revisit: int = 1 << 40  # rounds before a fetched page is re-fetched
+    max_retries: int = 3  # engine termination guard (darc retries forever)
+    salt_shards: int = 8
+    robots_enabled: bool = True  # FORCE=0 (darc/const.py)
+    user_agent: str = "darc-spark"
+    seconds_per_round: int = 1  # maps robots Crawl-delay seconds → rounds
+    selenium_enabled: bool = True
+    proxy_white: tuple = ()
+    proxy_black: tuple = ()
+    proxy_fallback: bool = False
+    host_white: tuple = ()
+    host_black: tuple = ()
+    host_fallback: bool = False
+    mime_white: tuple = ()
+    mime_black: tuple = ()
+    mime_fallback: bool = False
+    filter_kind: str = "cuckoo"
+    n_filter_buckets: int = 8
+    use_seen_filter: bool = True
+    compact_every: int = 0  # 0 = never
+    extract_from_failed: bool = True
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        web: SynthWeb | None = None,
+        config: CrawlConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.web = web or SynthWeb()
+        self.cfg = config or CrawlConfig()
+        self.store = SnapshotStore(spark, root)
+        self.store.schemas.setdefault("robots_docs", ROBOTS_DOCS)
+        self.fr_req = Frontier(
+            self.store,
+            "requests",
+            n_filter_buckets=self.cfg.n_filter_buckets,
+            filter_kind=self.cfg.filter_kind,
+        )
+        self.fr_sel = Frontier(
+            self.store,
+            "selenium",
+            n_filter_buckets=self.cfg.n_filter_buckets,
+            filter_kind=self.cfg.filter_kind,
+        )
+        self.round = int(self.store.latest_meta().get("round", -1)) + 1
+
+    # -- seeding ---------------------------------------------------------------
+    def seed(self, urls: list[str]) -> None:
+        """CLI-seed ingest (darc/__main__.py:145-161): parse → enqueue NX."""
+        df = self.spark.createDataFrame([(u,) for u in urls], "url string")
+        links = with_parsed_link(df).withColumn("backref", F.lit(None).cast("string"))
+        self.fr_req.enqueue_nx(links, self.round, use_filter=self.cfg.use_seen_filter)
+        self.store.commit({"round": self.round - 1, "op": "seed"})
+
+    # -- state dims --------------------------------------------------------------
+    def _hostname_state(self) -> DataFrame:
+        ev = self.store.read("hostname_state")
+        return ev.groupBy("hostname").agg(
+            F.first("proxy", ignorenulls=True).alias("proxy"),
+            F.min("first_seen_round").alias("first_seen_round"),
+            F.max("last_fetch_round").alias("last_fetch_round"),
+        )
+
+    def _robots_docs(self, extra: DataFrame | None = None) -> DataFrame:
+        docs = self.store.read_all("robots_docs")
+        if extra is not None:
+            docs = docs.unionByName(extra)
+        return docs.groupBy("hostname").agg(
+            F.max_by("text", "fetch_round").alias("robots_txt"),
+            F.max_by("status_code", "fetch_round").alias("robots_status"),
+        )
+
+    def _robots_delays(self) -> DataFrame | None:
+        docs = self.store.read("robots_docs")
+        ua, spr = self.cfg.user_agent, self.cfg.seconds_per_round
+
+        def derive(pdf_iter):
+            for pdf in pdf_iter:
+                rows = []
+                for _, r in pdf.iterrows():
+                    if r["status_code"] != 200 or not r["text"]:
+                        continue
+                    delay = parse_robots(r["text"]).crawl_delay(ua)
+                    if delay:
+                        rows.append(
+                            {
+                                "hostname": r["hostname"],
+                                "crawl_delay_rounds": int(math.ceil(delay / spr)),
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["hostname", "crawl_delay_rounds"]
+                )
+
+        return docs.mapInPandas(derive, "hostname string, crawl_delay_rounds int")
+
+    # -- new-host gate ---------------------------------------------------------
+    def _new_host_gate(self, batch: DataFrame, r: int) -> DataFrame | None:
+        """robots/sitemap/hosts.txt for first-seen hosts (darc/crawl.py:141-166).
+
+        Returns this round's fresh robots docs (also appended to the store)
+        so the robots gate sees them before commit.
+        """
+        hosts = batch.select("hostname", "proxy").dropDuplicates(["hostname"])
+        known = self._hostname_state().select("hostname")
+        new_hosts = self.store.write_scratch(
+            "new_hosts", hosts.join(known, "hostname", "left_anti")
+        )
+        # hostname_state: first_seen for new, last_fetch bump for all claimed
+        self.store.append(
+            "hostname_state",
+            hosts.select(
+                "hostname",
+                "proxy",
+                F.lit(r).cast("long").alias("first_seen_round"),
+                F.lit(r).cast("long").alias("last_fetch_round"),
+            ),
+        )
+        if new_hosts.isEmpty():
+            return None
+        web = self.web
+
+        def fetch_robots(pdf_iter):
+            for pdf in pdf_iter:
+                rows = []
+                for h in pdf["hostname"]:
+                    status, text = web.robots_txt(h)
+                    rows.append(
+                        {
+                            "hostname": h,
+                            "status_code": status,
+                            "text": text,
+                            "fetch_round": r,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["hostname", "status_code", "text", "fetch_round"]
+                )
+
+        fresh_docs = self.store.write_scratch(
+            "robots_fresh", new_hosts.mapInPandas(fetch_robots, ROBOTS_DOCS)
+        )
+        self.store.append("robots_docs", fresh_docs)
+        # parsed rules rows (queryable artifact, schema.ROBOTS_RULES)
+        def derive_rules(pdf_iter):
+            for pdf in pdf_iter:
+                yield robots_rules_rows(
+                    pdf["hostname"], pdf["text"], pdf["status_code"]
+                )
+
+        self.store.append(
+            "robots_rules",
+            fresh_docs.mapInPandas(derive_rules, self.store.schemas["robots_rules"]),
+        )
+
+        # sitemaps: robots Sitemap: lines, else /sitemap.xml fallback
+        # (darc/proxy/null.py:169-170); recursion over sitemapindex is a
+        # bounded driver BFS, each level parallel (darc/proxy/null.py:329)
+        def fetch_sitemaps(pdf_iter):
+            for pdf in pdf_iter:
+                rows = []
+                for h, proxy, text, status in zip(
+                    pdf["hostname"], pdf["proxy"], pdf["text"], pdf["status_code"]
+                ):
+                    if proxy in ("zeronet", "freenet"):  # darc/crawl.py:146
+                        continue
+                    sm_urls = (
+                        parse_robots(text).sitemaps
+                        if status == 200 and text
+                        else []
+                    ) or [f"http://{h}/sitemap.xml"]
+                    queue = list(sm_urls)
+                    depth = 0
+                    while queue and depth < 3:
+                        next_queue = []
+                        for sm in queue:
+                            st, xml = web.sitemap_xml(h)
+                            if st != 200:
+                                continue
+                            pages, children = parse_sitemap_one(sm, xml)
+                            rows.extend(
+                                {"hostname": h, "sitemap_url": sm, "loc": p, "is_index": False}
+                                for p in pages
+                            )
+                            next_queue.extend(children)
+                        queue, depth = next_queue, depth + 1
+                yield pd.DataFrame(
+                    rows, columns=["hostname", "sitemap_url", "loc", "is_index"]
+                )
+
+        new_with_proxy = new_hosts.join(
+            fresh_docs.select("hostname", "status_code", "text"), "hostname", "left"
+        )
+        sitemap_rows = self.store.write_scratch(
+            "sitemap_rows",
+            new_with_proxy.mapInPandas(
+                fetch_sitemaps, self.store.schemas["sitemaps"]
+            ),
+        )
+        self.store.append("sitemaps", sitemap_rows)
+        sitemap_links = with_parsed_link(
+            sitemap_rows.select(F.col("loc").alias("url"))
+        ).withColumn("backref", F.col("url"))
+        self._enqueue_extracted(sitemap_links, r)
+
+        # i2p new hosts: hosts.txt subscription (darc/crawl.py:156-161)
+        i2p_new = new_hosts.filter(F.col("proxy") == "i2p")
+        if not i2p_new.isEmpty():
+            def fetch_hosts_txt(pdf_iter):
+                for pdf in pdf_iter:
+                    rows = []
+                    for h in pdf["hostname"]:
+                        status, text = web.hosts_txt(h)
+                        if status == 200 and text:
+                            rows.append({"hostname": h, "text": text})
+                    yield pd.DataFrame(rows, columns=["hostname", "text"])
+
+            docs = i2p_new.mapInPandas(
+                fetch_hosts_txt, "hostname string, text string"
+            )
+            from darc_spark.functions.hosts import extract_i2p_hosts
+
+            found = extract_i2p_hosts(docs, text_col="text", src_col="hostname")
+            hosts_links = with_parsed_link(
+                found.select(
+                    "url",
+                    F.concat(
+                        F.lit("http://"), F.col("hostname"), F.lit("/")
+                    ).alias("backref_url"),
+                )
+            ).withColumn("backref", F.col("backref_url")).drop("backref_url")
+            self._enqueue_extracted(hosts_links, r)
+        return fresh_docs
+
+    def _enqueue_extracted(self, links: DataFrame, r: int) -> DataFrame:
+        """Route parsed links: special sinks vs crawlable enqueue (F1/F2)."""
+        crawlable = links.filter(
+            F.col("proxy").isin(*CRAWLABLE_PROXIES)
+            & F.col("scheme").isin(*CRAWLABLE_SCHEMES)
+        )
+        special = links.filter(
+            ~(
+                F.col("proxy").isin(*CRAWLABLE_PROXIES)
+                & F.col("scheme").isin(*CRAWLABLE_SCHEMES)
+            )
+        )
+        self.store.append(
+            "special_links",
+            special.select(
+                F.when(F.col("proxy") == "", "invalid")
+                .otherwise(F.col("proxy"))
+                .alias("kind"),
+                "url",
+                "backref",
+                F.lit(r).cast("long").alias("round"),
+            ),
+        )
+        keep = crawlable.filter(
+            ~match_proxy_drop(
+                F.col("proxy"),
+                list(self.cfg.proxy_white),
+                list(self.cfg.proxy_black),
+                self.cfg.proxy_fallback,
+            )
+            & ~match_host_drop(
+                F.col("host"),
+                list(self.cfg.host_white),
+                list(self.cfg.host_black),
+                self.cfg.host_fallback,
+            )
+        )
+        self.fr_req.enqueue_nx(keep, r, use_filter=self.cfg.use_seen_filter)
+        return keep
+
+    # -- round stages ---------------------------------------------------------
+    def _claim_filters(self, claimed: DataFrame, fr: Frontier, r: int) -> DataFrame:
+        """Claim-time F1/F2 (darc/crawl.py:117-124): violators are dropped."""
+        drop_cond = match_proxy_drop(
+            F.col("proxy"),
+            list(self.cfg.proxy_white),
+            list(self.cfg.proxy_black),
+            self.cfg.proxy_fallback,
+        ) | match_host_drop(
+            F.col("host"),
+            list(self.cfg.host_white),
+            list(self.cfg.host_black),
+            self.cfg.host_fallback,
+        )
+        to_drop = claimed.filter(drop_cond)
+        if not to_drop.isEmpty():
+            fr.drop(to_drop, r, reason="filtered")
+        return claimed.filter(~drop_cond)
+
+    def _requests_stage(self, r: int) -> dict[str, float]:
+        cfg = self.cfg
+        claimed = self.fr_req.claim(
+            r,
+            per_host=cfg.per_host,
+            lease=cfg.lease,
+            salt_shards=cfg.salt_shards,
+            robots_delays=self._robots_delays() if cfg.robots_enabled else None,
+            hostname_state=self._hostname_state(),
+        )
+        m = {"claimed_requests": float(claimed.count())}
+        if m["claimed_requests"] == 0:
+            return m
+        keep = self._claim_filters(claimed, self.fr_req, r)
+        fresh_docs = self._new_host_gate(keep, r)
+
+        if cfg.robots_enabled:
+            docs = self._robots_docs(extra=fresh_docs)
+            ua = cfg.user_agent
+            gate = F.pandas_udf(
+                lambda u, p: can_fetch_batch(u, p, useragent=ua), "boolean"
+            )
+            gated = keep.join(F.broadcast(docs), "hostname", "left").withColumn(
+                "_allowed", gate("url", "robots_txt")
+            )
+            # disallowed rows: neither requeued nor dropped — they stay
+            # leased (darc/crawl.py:168-170 returns without action)
+            allowed = gated.filter(F.col("_allowed")).drop(
+                "_allowed", "robots_txt", "robots_status"
+            )
+        else:
+            allowed = keep
+
+        raw = self.store.write_scratch(
+            "fetch_raw_requests", run_fetch(allowed, self.web.pages_batch)
+        )
+        m["fetched_requests"] = float(raw.count())
+
+        # fetches table — every response row (headers/doc sink, S9/S10/S13)
+        self.store.append(
+            "fetches",
+            raw.select(
+                "name",
+                "url",
+                "hostname",
+                "proxy",
+                F.lit(r).cast("long").alias("fetch_round"),
+                "status_code",
+                "content_type",
+                "is_html",
+                F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+                "image_id",
+                "bytes",
+                "w",
+                "h",
+                "fmt",
+                "caption",
+                "phash",
+            ),
+        )
+
+        # LinkNoReturn from site hooks → permanent drop
+        no_return = raw.filter(F.col("no_return"))
+        if not no_return.isEmpty():
+            self.fr_req.drop(no_return, r, reason="no-return")
+        live = raw.filter(~F.col("no_return"))
+
+        html = live.filter(F.col("is_html"))
+        generic = live.filter(~F.col("is_html"))
+
+        # generic branch (darc/crawl.py:196-213)
+        mime_drop = match_mime_drop(
+            F.col("content_type"),
+            list(cfg.mime_white),
+            list(cfg.mime_black),
+            cfg.mime_fallback,
+        )
+        to_drop = generic.filter(mime_drop)
+        if not to_drop.isEmpty():
+            self.fr_req.drop(to_drop, r, reason="mime-filtered")
+        generic_kept = generic.filter(~mime_drop)
+        # i2p hosts.txt bodies feed the queue (darc/crawl.py:203-206)
+        i2p_plain = generic_kept.filter(
+            (F.col("proxy") == "i2p")
+            & F.col("content_type").isin("text/plain", "text/text")
+            & F.col("body_text").isNotNull()
+        )
+        if not i2p_plain.isEmpty():
+            from darc_spark.functions.hosts import extract_i2p_hosts
+
+            found = extract_i2p_hosts(
+                i2p_plain.select(
+                    F.col("body_text").alias("text"),
+                    F.col("url").alias("backref_url"),
+                ),
+                text_col="text",
+                src_col="backref_url",
+            )  # → (backref_url, host, url)
+            hosts_links = with_parsed_link(
+                found.select("url", "backref_url")
+            ).withColumn("backref", F.col("backref_url")).drop("backref_url")
+            self._enqueue_extracted(hosts_links, r)
+        self.fr_req.mark_done(generic_kept, r, revisit_after=r + cfg.revisit)
+
+        # HTML branch
+        empty = html.filter(F.col("empty_body"))
+        self._retry_or_drop(self.fr_req, empty, r, reason="empty-body")
+        solid = html.filter(~F.col("empty_body"))
+
+        # extraction (even for !ok responses — darc/crawl.py:222-230)
+        exploded = solid.select(
+            F.col("name").alias("parent_name"),
+            F.col("url").alias("parent_url"),
+            F.explode_outer("links").alias("child_url"),
+        ).filter(F.col("child_url").isNotNull())
+        exploded = self.store.write_scratch("extracted_requests", exploded)
+        m["extracted"] = float(exploded.count())
+        child_links = with_parsed_link(
+            exploded.select(F.col("child_url").alias("url"), "parent_name", "parent_url")
+        ).withColumn("backref", F.col("parent_url"))
+        kept_children = self._enqueue_extracted(child_links, r)
+        self.store.append(
+            "edges",
+            kept_children.select(
+                F.col("parent_name"),
+                F.col("name").alias("child_name"),
+                F.col("parent_url"),
+                F.col("url").alias("child_url"),
+                F.lit(r).cast("long").alias("round"),
+            ),
+        )
+
+        ok = solid.filter(F.col("status_code") < 400)
+        failed = solid.filter(F.col("status_code") >= 400)
+        self.fr_req.mark_done(ok, r, revisit_after=r + cfg.revisit)
+        if cfg.selenium_enabled and not ok.isEmpty():
+            # promote ok pages to the render queue (darc/crawl.py:233)
+            self.fr_sel.enqueue_nx(ok, r, use_filter=cfg.use_seen_filter)
+        self._retry_or_drop(self.fr_req, failed, r, reason="http-error")
+        m["ok_requests"] = float(ok.count())
+        return m
+
+    def _selenium_stage(self, r: int) -> dict[str, float]:
+        cfg = self.cfg
+        claimed = self.fr_sel.claim(
+            r, per_host=cfg.per_host, lease=cfg.lease, salt_shards=cfg.salt_shards
+        )
+        m = {"claimed_selenium": float(claimed.count())}
+        if m["claimed_selenium"] == 0:
+            return m
+        keep = self._claim_filters(claimed, self.fr_sel, r)
+        raw = self.store.write_scratch(
+            "fetch_raw_selenium", run_fetch(keep, self.web.pages_batch)
+        )
+        self.store.append(
+            "fetches_selenium",
+            raw.select(
+                "name",
+                "url",
+                "hostname",
+                "proxy",
+                F.lit(r).cast("long").alias("fetch_round"),
+                "status_code",
+                "content_type",
+                "is_html",
+                F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+                "image_id",
+                "bytes",
+                "w",
+                "h",
+                "fmt",
+                "caption",
+                "phash",
+            ),
+        )
+        # rendered-page extraction feeds the REQUESTS queue (darc/crawl.py:349)
+        solid = raw.filter(F.col("is_html") & ~F.col("empty_body"))
+        exploded = self.store.write_scratch(
+            "extracted_selenium",
+            solid.select(
+                F.col("url").alias("parent_url"),
+                F.explode_outer("links").alias("child_url"),
+            ).filter(F.col("child_url").isNotNull()),
+        )
+        child_links = with_parsed_link(
+            exploded.select(F.col("child_url").alias("url"), "parent_url")
+        ).withColumn("backref", F.col("parent_url"))
+        self._enqueue_extracted(child_links, r)
+        self.fr_sel.mark_done(solid, r, revisit_after=r + cfg.revisit)
+        # empty render → requeue (SE_EMPTY sentinel, darc/crawl.py:327-330)
+        failed = raw.filter(~(F.col("is_html") & ~F.col("empty_body")))
+        self._retry_or_drop(self.fr_sel, failed, r, reason="render-failed")
+        m["rendered"] = float(solid.count())
+        return m
+
+    def _retry_or_drop(
+        self, fr: Frontier, rows: DataFrame, r: int, reason: str
+    ) -> None:
+        """Failure path: requeue now (darc requeues forever); cap for
+        termination via max_retries (engine extension)."""
+        if rows.isEmpty():
+            return
+        retry = rows.filter(F.col("retry_count") < self.cfg.max_retries)
+        give_up = rows.filter(F.col("retry_count") >= self.cfg.max_retries)
+        if not retry.isEmpty():
+            fr.requeue(retry, r, delay=1)
+        if not give_up.isEmpty():
+            fr.drop(give_up, r, reason=f"{reason}-max-retries")
+
+    # -- round driver ---------------------------------------------------------
+    def run_round(self) -> dict[str, float]:
+        r = self.round
+        metrics = self._requests_stage(r)
+        if self.cfg.selenium_enabled:
+            metrics.update(self._selenium_stage(r))
+        rows = [(r, k, float(v)) for k, v in metrics.items()]
+        self.store.append(
+            "metrics", self.spark.createDataFrame(rows, METRICS)
+        )
+        if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:
+            self.fr_req.compact(r)
+            self.fr_sel.compact(r)
+        self.store.commit({"round": r, "metrics": metrics})
+        self.round = r + 1
+        for hook in HOOKS:
+            hook(r, self)
+        return metrics
+
+    def run(self, rounds: int) -> list[dict[str, float]]:
+        out = []
+        for _ in range(rounds):
+            try:
+                out.append(self.run_round())
+            except WorkerBreak:
+                break
+            if out[-1].get("claimed_requests", 0) == 0 and out[-1].get(
+                "claimed_selenium", 0
+            ) == 0:
+                break  # frontier drained (DARC_WAIT idle analogue)
+        return out
+
+
+def main() -> None:  # pragma: no cover - manual drive
+    import tempfile
+
+    from darc_spark.session import get_spark
+
+    spark = get_spark("darc-spark-crawl", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    web = SynthWeb()
+    crawler = Crawler(spark, tempfile.mkdtemp(prefix="crawl-"), web)
+    crawler.seed(web.seeds())
+    for m in crawler.run(3):
+        print(m)
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

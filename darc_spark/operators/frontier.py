@@ -69,6 +69,7 @@ DROPPED = T.StructType(
         T.StructField("name", T.StringType(), False),
         T.StructField("round", T.LongType(), False),
         T.StructField("reason", T.StringType(), True),
+        T.StructField("event_seq", T.LongType(), False),
     ]
 )
 URL_SEEN_EVENTS = T.StructType(
@@ -78,6 +79,7 @@ URL_SEEN_EVENTS = T.StructType(
         T.StructField("hostname", T.StringType(), False),
         T.StructField("seen_round", T.LongType(), False),
         T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("event_seq", T.LongType(), False),
     ]
 )
 SEEN_FILTER = T.StructType(
@@ -124,12 +126,23 @@ class Frontier:
         self.n_filter_buckets = n_filter_buckets
         self.filter_kind = filter_kind
         self.filter_capacity = filter_capacity_per_bucket
+        self._seq_in_version = 0
+
+    def _next_seq(self) -> int:
+        """Monotonic event sequence: program order within a round, and
+        strictly above any committed event after resume (version bump)."""
+        self._seq_in_version += 1
+        return (self.store.version + 1) * 1_000_000 + self._seq_in_version
 
     # -- seen-set ------------------------------------------------------------
     def seen(self) -> DataFrame:
-        """Names currently in the seen set (tombstone-resolved)."""
-        ev = self.store.read(self.t_seen)
-        w = Window.partitionBy("name").orderBy(F.col("seen_round").desc())
+        """Names currently in the seen set (tombstone-resolved).
+
+        Reads committed + staged events so a second enqueue within the
+        same (uncommitted) round still observes NX semantics.
+        """
+        ev = self.store.read_all(self.t_seen)
+        w = Window.partitionBy("name").orderBy(F.col("event_seq").desc())
         return (
             ev.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & ~F.col("deleted"))
@@ -140,7 +153,7 @@ class Frontier:
         """(definitely_new, maybe_seen) via the per-bucket approx filter."""
         filters = {
             int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
-            for r in self.store.read(self.t_filter).collect()
+            for r in self.store.read_all(self.t_filter).collect()
         }
         keyed = candidates.withColumn("_key", F.xxhash64("name")).withColumn(
             "_bucket",
@@ -197,7 +210,7 @@ class Frontier:
                     F.lit(True).alias("remove"),
                 )
             )
-        current = self.store.read(self.t_filter)
+        current = self.store.read_all(self.t_filter)
 
         def update(fdf: pd.DataFrame, kdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np
@@ -267,6 +280,7 @@ class Frontier:
             .withColumn("not_before", F.lit(current_round).cast("long"))
             .withColumn("retry_count", F.lit(0).cast("int"))
             .withColumn("enqueue_round", F.lit(current_round).cast("long"))
+            .withColumn("event_seq", F.lit(self._next_seq()).cast("long"))
             .select([f.name for f in FRONTIER.fields])
         )
         self.store.append(self.t_frontier, rows)
@@ -281,6 +295,7 @@ class Frontier:
                 "hostname",
                 F.lit(current_round).cast("long").alias("seen_round"),
                 F.lit(False).alias("deleted"),
+                F.col("event_seq"),
             ),
         )
         if use_filter:
@@ -305,6 +320,7 @@ class Frontier:
                 "not_before", F.lit(current_round + delay).cast("long")
             )
             .withColumn("enqueue_round", F.lit(current_round).cast("long"))
+            .withColumn("event_seq", F.lit(self._next_seq()).cast("long"))
             .select([f.name for f in FRONTIER.fields])
         )
         self.store.append(self.t_frontier, rows)
@@ -317,9 +333,7 @@ class Frontier:
     ) -> DataFrame:
         """Claimable rows now: latest attempt, not done/dropped/leased."""
         ev = self.store.read(self.t_frontier)
-        w = Window.partitionBy("name").orderBy(
-            F.col("enqueue_round").desc(), F.col("retry_count").desc()
-        )
+        w = Window.partitionBy("name").orderBy(F.col("event_seq").desc())
         latest = (
             ev.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -333,12 +347,11 @@ class Frontier:
             | (F.lit(current_round) >= F.col("revisit_after"))
         ).drop("revisit_after")
         dropped = self.store.read(self.t_dropped).groupBy("name").agg(
-            F.max("round").alias("drop_round")
+            F.max("event_seq").alias("drop_seq")
         )
         latest = latest.join(dropped, "name", "left").filter(
-            F.col("drop_round").isNull()
-            | (F.col("enqueue_round") > F.col("drop_round"))
-        ).drop("drop_round")
+            F.col("drop_seq").isNull() | (F.col("event_seq") > F.col("drop_seq"))
+        ).drop("drop_seq")
         if not ignore_leases:
             leases = self.store.read(self.t_claims).groupBy("name").agg(
                 F.max("lease_until").alias("lease_until")
@@ -400,11 +413,13 @@ class Frontier:
         the name key, darc/db.py:435-440).
         """
         d = names.select("name", "url", "hostname")
+        seq = self._next_seq()
         self.store.append(
             self.t_dropped,
             d.select("name")
             .withColumn("round", F.lit(current_round).cast("long"))
-            .withColumn("reason", F.lit(reason)),
+            .withColumn("reason", F.lit(reason))
+            .withColumn("event_seq", F.lit(seq).cast("long")),
         )
         self.store.append(
             self.t_seen,
@@ -414,6 +429,7 @@ class Frontier:
                 "hostname",
                 F.lit(current_round).cast("long").alias("seen_round"),
                 F.lit(True).alias("deleted"),
+                F.lit(seq).cast("long").alias("event_seq"),
             ),
         )
         if update_filter and self.filter_kind == "cuckoo":
@@ -438,9 +454,9 @@ class Frontier:
         seen_now = self.seen()
         self.store.replace(
             self.t_seen,
-            seen_now.select("name", "url", "hostname", "seen_round").withColumn(
-                "deleted", F.lit(False)
-            ),
+            seen_now.select("name", "url", "hostname", "seen_round")
+            .withColumn("deleted", F.lit(False))
+            .withColumn("event_seq", F.lit(self._next_seq()).cast("long")),
         )
         active = self.store.read(self.t_claims).filter(
             F.col("lease_until") > current_round

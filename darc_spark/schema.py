@@ -59,6 +59,9 @@ FRONTIER = T.StructType(
         T.StructField("not_before", T.LongType(), False),  # round number lease
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("enqueue_round", T.LongType(), False),
+        # monotonic per-store event sequence: resolves same-round
+        # drop/re-add races deterministically (program order)
+        T.StructField("event_seq", T.LongType(), False),
     ]
 )
 

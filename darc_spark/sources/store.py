@@ -154,13 +154,47 @@ class SnapshotStore:
         self._staged_appends.clear()
         self._staged_replace.clear()
 
+    def read_all(self, table: str) -> DataFrame:
+        """Snapshot read PLUS this round's staged (uncommitted) segments.
+
+        Needed where within-round read-your-writes matters, e.g. the
+        URL-seen NX check across multiple enqueues in one round.
+        """
+        committed = self.read(table)
+        staged = self._staged_appends.get(table, [])
+        if self._staged_replace.get(table):
+            committed = self.spark.read.schema(
+                self.schemas[table]
+            ).parquet(
+                *[os.path.join(self.root, s) for s in self._staged_replace[table]]
+            )
+        if not staged:
+            return committed
+        staged_df = self.spark.read.schema(self.schemas[table]).parquet(
+            *[os.path.join(self.root, s) for s in staged]
+        )
+        return committed.unionByName(staged_df)
+
+    def write_scratch(self, name: str, df: DataFrame) -> DataFrame:
+        """Materialize an intermediate once and read it back (cut-point).
+
+        Used where one expensive result (e.g. a fetch batch) feeds several
+        downstream writes — the re-read guarantees every consumer sees the
+        same rows with no recomputation (and no non-determinism), like an
+        Iceberg staging table. Scratch lives outside manifests and is
+        overwritten per round.
+        """
+        path = os.path.join(self.root, "_scratch", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
     def gc(self) -> int:
         """Remove segment dirs not referenced by the current manifest."""
         live = {rel for segs in self._tables.values() for rel in segs}
         removed = 0
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)
-            if table == "_manifests" or not os.path.isdir(tdir):
+            if table in ("_manifests", "_scratch") or not os.path.isdir(tdir):
                 continue
             for seg in os.listdir(tdir):
                 rel = os.path.join(table, seg)

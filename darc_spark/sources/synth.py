@@ -1,0 +1,243 @@
+"""Deterministic synthetic web — the sandbox's network stand-in.
+
+A pure function ``url → page`` (seeded, no I/O, no RNG state): the same
+URL always yields the same status / content-type / HTML / image+caption
+payload, so fetch is **idempotent and resumable** (SURVEY.md §7 hard
+part (c)) and the e2e oracle simulator sees the identical web.
+
+The graph is implicit: a page's outlinks are hash-derived, so the "web"
+needs no materialized table and scales to any frontier size for
+benchmarks. Shape knobs mirror what the reference must handle:
+
+* a **hot host** receiving ~half of all cross-host links (skew → salted
+  politeness window),
+* `.onion` / `.i2p` hosts (proxy classification + hosts.txt path),
+* robots.txt with disallowed ``/private/`` subtrees + crawl-delay,
+* sitemap.xml per host, hosts.txt on the i2p host,
+* 404s / 500s (requeue), empty bodies, non-HTML content types,
+* special-scheme links in text (mailto/bitcoin/data) for the sinks,
+* an image+caption payload on most 200-HTML pages (png lossless or
+  qpng lossy exercising the PSNR≥40 dB invariant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+
+from darc_spark.functions.images import encode_lossy, encode_png, phash64
+
+VOCAB = (
+    "amber basalt cobalt dune ember fjord garnet harbor iris juniper krill "
+    "lumen mesa nadir onyx prism quartz reef sable tundra umbra vortex wharf "
+    "xenon yarrow zephyr"
+).split()
+
+DEFAULT_HOSTS = (
+    "hot.example",
+    "alpha.example",
+    "beta.example",
+    "gamma.onion",
+    "delta.i2p",
+    "epsilon.example",
+)
+
+
+class SynthWeb:
+    def __init__(
+        self,
+        seed: int = 42,
+        hosts: tuple[str, ...] = DEFAULT_HOSTS,
+        pages_per_host: int = 400,
+        branching: int = 4,
+        hot_share: int = 50,  # % of cross-host links going to hosts[0]
+    ) -> None:
+        self.seed = seed
+        self.hosts = hosts
+        self.pages_per_host = pages_per_host
+        self.branching = branching
+        self.hot_share = hot_share
+
+    # -- hashing --------------------------------------------------------------
+    def _h(self, *parts: object) -> int:
+        data = ("|".join(str(p) for p in parts)).encode()
+        digest = hashlib.blake2b(data, digest_size=8, key=struct.pack("<q", self.seed)).digest()
+        return int.from_bytes(digest, "little")
+
+    # -- URL space ------------------------------------------------------------
+    def url(self, host: str, page_id: int, private: bool = False) -> str:
+        kind = "private" if private else "p"
+        return f"http://{host}/{kind}/{page_id}"
+
+    def seeds(self, k: int = 3) -> list[str]:
+        return [self.url(h, 0) for h in self.hosts[: max(1, k)]]
+
+    def _parse(self, url: str) -> tuple[str, str, int] | None:
+        """url → (host, kind, page_id) if it's inside this web."""
+        if not url.startswith("http://"):
+            return None
+        rest = url[7:]
+        host, _, path = rest.partition("/")
+        if host not in self.hosts:
+            return None
+        path = path.split("?")[0].split("#")[0]
+        segs = [s for s in path.split("/") if s]
+        if len(segs) == 2 and segs[0] in ("p", "private") and segs[1].isdigit():
+            pid = int(segs[1])
+            if 0 <= pid < self.pages_per_host:
+                return host, segs[0], pid
+        if len(segs) == 0:
+            return host, "p", 0  # root == page 0
+        if segs == ["hosts.txt"] and host.endswith(".i2p"):
+            return host, "hosts", 0
+        return None
+
+    # -- per-host artifacts -----------------------------------------------------
+    def robots_txt(self, host: str) -> tuple[int, str]:
+        """(status_code, text) — even-indexed hosts ship robots rules."""
+        idx = self.hosts.index(host) if host in self.hosts else -1
+        if idx < 0 or idx % 2 == 1:
+            return 404, ""
+        delay = "Crawl-delay: 2\n" if idx == 2 else ""
+        return 200, (
+            "User-agent: *\n"
+            "Disallow: /private/\n" + delay + f"Sitemap: http://{host}/sitemap.xml\n"
+        )
+
+    def sitemap_xml(self, host: str) -> tuple[int, str]:
+        if host not in self.hosts:
+            return 404, ""
+        locs = "".join(
+            f"<url><loc>{self.url(host, self._h(host, 'sm', i) % self.pages_per_host)}</loc></url>"
+            for i in range(3)
+        )
+        return 200, f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+
+    def hosts_txt(self, host: str) -> tuple[int, str]:
+        if not host.endswith(".i2p"):
+            return 404, ""
+        lines = [f"peer{i}.i2p=b64key{i}" for i in range(2)]
+        return 200, "\n".join(lines) + "\nnot-i2p.example=zz\n"
+
+    # -- pages ---------------------------------------------------------------
+    def _child_urls(self, host: str, kind: str, pid: int) -> list[str]:
+        out = []
+        for j in range(self.branching):
+            h = self._h(host, kind, pid, "child", j)
+            target_pid = h % self.pages_per_host
+            r = (h >> 32) % 100
+            if r < 60:
+                target_host = host  # same-host link
+            elif r < 60 + (self.hot_share * 40) // 100:
+                target_host = self.hosts[0]  # hot host
+            else:
+                target_host = self.hosts[(h >> 16) % len(self.hosts)]
+            private = (h >> 48) % 10 == 0  # ~10% links into robots-blocked space
+            out.append(self.url(target_host, target_pid, private))
+        return out
+
+    def page(self, url: str) -> dict:
+        """The pure fetch function. Never throws."""
+        null = {
+            "status_code": 404,
+            "content_type": "text/plain",
+            "html": "",
+            "image_id": None,
+            "bytes": None,
+            "w": None,
+            "h": None,
+            "fmt": None,
+            "caption": None,
+            "phash": None,
+        }
+        parsed = self._parse(url)
+        if parsed is None:
+            return null
+        host, kind, pid = parsed
+        if kind == "hosts":
+            _, text = self.hosts_txt(host)
+            return {**null, "status_code": 200, "content_type": "text/plain", "html": text}
+
+        h = self._h(host, kind, pid, "meta")
+        roll = h % 100
+        if roll < 78:
+            status = 200
+        elif roll < 88:
+            status = 404
+        elif roll < 94:
+            status = 500
+        else:
+            return {**null, "status_code": 200, "content_type": "text/html", "html": ""}
+
+        ct_roll = (h >> 8) % 100
+        if ct_roll < 80:
+            content_type = "text/html"
+        elif ct_roll < 90:
+            content_type = "text/plain"
+        else:
+            content_type = "image/png"
+
+        if content_type == "image/png":
+            return {**null, "status_code": status, "content_type": "image/png", "html": ""}
+
+        children = self._child_urls(host, kind, pid)
+        anchors = "".join(f'<a href="{c}">{c.split("/")[-1]}</a> ' for c in children)
+        rel = f'<a href="/p/{self._h(host, pid, "rel") % self.pages_per_host}">rel</a>'
+        extras = ""
+        if (h >> 16) % 5 == 0:
+            extras += f" contact admin{pid}@{host} "
+        if (h >> 24) % 11 == 0:
+            extras += " donate 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa "
+        if (h >> 32) % 13 == 0:
+            extras += f' <img src="data:image/png;base64,QUJD{pid}">'
+        body = f"<html><body>{anchors}{rel}{extras}</body></html>"
+        if content_type == "text/plain":
+            body = " ".join(children)
+
+        out = {
+            **null,
+            "status_code": status,
+            "content_type": content_type,
+            "html": body,
+        }
+        # image+caption payload on HTML pages (input_hint schema)
+        if content_type == "text/html" and (h >> 40) % 4 != 0:
+            ih = self._h(host, kind, pid, "img")
+            rng = np.random.default_rng(ih)
+            side = 16 + int(ih % 3) * 8
+            arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+            lossy = (ih >> 8) % 2 == 0
+            data = encode_lossy(arr) if lossy else encode_png(arr)
+            words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
+            out.update(
+                image_id=f"img-{host}-{kind}-{pid}",
+                bytes=data,
+                w=side,
+                h=side,
+                fmt="qpng" if lossy else "png",
+                caption=" ".join(words),
+                phash=phash64(arr),
+            )
+        return out
+
+    def original_pixels(self, image_id: str) -> np.ndarray:
+        """Oracle access to pre-encode pixels (for the PSNR invariant)."""
+        _, host, kind, pid = image_id.split("-")
+        ih = self._h(host, kind, int(pid), "img")
+        rng = np.random.default_rng(ih)
+        side = 16 + int(ih % 3) * 8
+        return rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+
+    def pages_batch(self, urls: pd.Series) -> pd.DataFrame:
+        rows = [self.page(u) for u in urls.astype(str)]
+        df = pd.DataFrame(rows, index=urls.index)
+        # pandas infers float64 for an int column containing None, which
+        # silently destroys the low bits of 63-bit phashes — pin Int64
+        df["phash"] = pd.array(
+            [r["phash"] for r in rows], dtype="Int64"
+        )
+        df.index = urls.index
+        return df
