@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship frontier-scheduling query on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
+plus the training-data pipeline ops); each callable is (spark, sf_dir)
+→ DataFrame built from darc_spark library functions.
+``oracle_sql()`` — the equivalent DuckDB SQL per query. Column names and
+numeric types are aligned on both sides (BIGINT/DOUBLE, rounded floats).
+Queries with no SQL-expressible form (the crawl loop itself, image
+codecs) are rows-only checked.
 """
 
 from __future__ import annotations
@@ -12,27 +15,793 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+# ---------------------------------------------------------------------------
+# URL corpus: deterministic URLs derived from documents.doc_id, covering
+# every proxy class. The Spark side classifies with the REAL vectorized
+# parser (darc_spark.functions.canon); the oracle classifies this closed
+# corpus with an independent SQL CASE.
+_URL_CASE_SPARK = """
+CASE CAST(doc_id % 12 AS INT)
+  WHEN 0 THEN 'http://site' || CAST(doc_id % 7 AS STRING) || '.example/p/' || CAST(doc_id AS STRING)
+  WHEN 1 THEN 'https://hidden' || CAST(doc_id % 5 AS STRING) || '.onion/page/' || CAST(doc_id AS STRING)
+  WHEN 2 THEN 'http://x' || CAST(doc_id % 5 AS STRING) || '.onion.sh/q'
+  WHEN 3 THEN 'http://mud' || CAST(doc_id % 3 AS STRING) || '.i2p/idx'
+  WHEN 4 THEN 'http://127.0.0.1:43110/1Site' || CAST(doc_id % 9 AS STRING) || '/x'
+  WHEN 5 THEN 'http://127.0.0.1:8888/USK@key' || CAST(doc_id % 9 AS STRING) || '/sub'
+  WHEN 6 THEN 'mailto:user' || CAST(doc_id AS STRING) || '@mail.example'
+  WHEN 7 THEN 'bitcoin:1A1zP' || CAST(doc_id AS STRING)
+  WHEN 8 THEN 'data:text/plain;base64,QUJD'
+  WHEN 9 THEN 'javascript:void(' || CAST(doc_id AS STRING) || ')'
+  WHEN 10 THEN 'ftp://files' || CAST(doc_id % 4 AS STRING) || '.example/f'
+  ELSE 'wss://socket.example/ws/' || CAST(doc_id AS STRING)
+END
+"""
+
+_URL_CASE_DUCK = """
+CASE CAST(doc_id % 12 AS INT)
+  WHEN 0 THEN 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN 'https://hidden' || CAST(doc_id % 5 AS VARCHAR) || '.onion/page/' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'http://x' || CAST(doc_id % 5 AS VARCHAR) || '.onion.sh/q'
+  WHEN 3 THEN 'http://mud' || CAST(doc_id % 3 AS VARCHAR) || '.i2p/idx'
+  WHEN 4 THEN 'http://127.0.0.1:43110/1Site' || CAST(doc_id % 9 AS VARCHAR) || '/x'
+  WHEN 5 THEN 'http://127.0.0.1:8888/USK@key' || CAST(doc_id % 9 AS VARCHAR) || '/sub'
+  WHEN 6 THEN 'mailto:user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+  WHEN 7 THEN 'bitcoin:1A1zP' || CAST(doc_id AS VARCHAR)
+  WHEN 8 THEN 'data:text/plain;base64,QUJD'
+  WHEN 9 THEN 'javascript:void(' || CAST(doc_id AS VARCHAR) || ')'
+  WHEN 10 THEN 'ftp://files' || CAST(doc_id % 4 AS VARCHAR) || '.example/f'
+  ELSE 'wss://socket.example/ws/' || CAST(doc_id AS VARCHAR)
+END
+"""
+
+
+def _url_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.selectExpr("doc_id", f"({_URL_CASE_SPARK}) AS url")
+
+
+# -- shared SQL fragments (DuckDB dialect) -----------------------------------
+_TOKS_DUCK = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+)
+_H64_DUCK = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_STOP_DUCK = "['the','a','of','to','and','in','is','for','on','with']"
+
+
+# ---------------------------------------------------------------------------
+# queries
+def q_link_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: vectorized parse_link classification (SURVEY §2.7)."""
+    from darc_spark.functions.canon import with_parsed_link
+
+    urls = _url_corpus(spark, sf_dir)
+    parsed = with_parsed_link(urls)
+    return (
+        parsed.groupBy("proxy")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("hostname").cast("long").alias("n_hosts"),
+        )
+        .orderBy("proxy")
+    )
+
+
+def q_url_name_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: canonical URL key = sha256 (darc/link.py:394)."""
+    from darc_spark.functions.canon import link_name
+
+    urls = _url_corpus(spark, sf_dir)
+    return urls.select(
+        "doc_id", link_name("url").alias("name")
+    ).orderBy("doc_id").limit(200)
+
+
+def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A3/W1: politeness top-k claim window over an event frontier."""
+    from darc_spark.operators.politeness import per_host_top_k
+
+    (events,) = _load(spark, sf_dir, "events")
+    frontier = events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("string").alias("hostname"),
+        F.lit(0).cast("int").alias("priority"),
+        F.col("event_id").cast("long").alias("enqueue_round"),
+        F.concat(F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_id")).alias(
+            "url"
+        ),
+    )
+    return per_host_top_k(frontier, 3, salt_shards=4).select(
+        "hostname", "event_id", "url"
+    )
+
+
+def q_url_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: ZADD-NX dedup as left_anti join (url_seen semantics)."""
+    (events,) = _load(spark, sf_dir, "events")
+    seen = events.filter(F.col("event_id") < 5000).select("user_id").distinct()
+    batch = events.filter(F.col("event_id") >= 5000).select("user_id").distinct()
+    fresh = batch.join(seen, "user_id", "left_anti")
+    return fresh.select(F.col("user_id").cast("long").alias("user_id"))
+
+
+def q_hostname_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: hostname alive=any(ok), since=min(ts) rollup."""
+    (events,) = _load(spark, sf_dir, "events")
+    return events.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("long")
+        .alias("alive"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("since"),
+        F.count("*").cast("long").alias("n_urls"),
+    )
+
+
+def q_link_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: FK joins — revenue per nation (broadcast dims)."""
+    nation, customer, orders, lineitem = _load(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        # per-row integer scaling before the sum: floor is exact on doubles,
+        # so the aggregate is order-independent (no float-sum nondeterminism)
+        .withColumn(
+            "rev_e2",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev_e2").cast("long").alias("revenue_e2"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_redirect_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: posexplode with index (redirect-history analogue)."""
+    from darc_spark.functions.text import tokens
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(F.slice(tokens(F.col("text")), 1, 5)))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("pos").cast("long").alias("pos"),
+            F.col("col").alias("tok"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog sessionization: lag + gap>600s cumsum."""
+    from pyspark.sql import Window
+
+    (events,) = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_timestamp(F.col("ts").cast("timestamp"))).over(w)
+            > 600,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    return gaps.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    scaled = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .withColumn("qty_e2", F.floor(F.col("l_quantity") * 100 + 0.5))
+        .withColumn("price_e2", F.floor(F.col("l_extendedprice") * 100 + 0.5))
+        .withColumn(
+            "disc_price_e2",
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5),
+        )
+        .withColumn(
+            "charge_e2",
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+                + 0.5
+            ),
+        )
+        .withColumn("disc_e6", F.floor(F.col("l_discount") * 1000000 + 0.5))
+    )
+    return (
+        scaled.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_e2").cast("long").alias("sum_qty_e2"),
+            F.sum("price_e2").cast("long").alias("sum_base_price_e2"),
+            F.sum("disc_price_e2").cast("long").alias("sum_disc_price_e2"),
+            F.sum("charge_e2").cast("long").alias("sum_charge_e2"),
+            F.floor(F.sum("qty_e2").cast("double") * 10000 / F.count("*"))
+            .cast("long")
+            .alias("avg_qty_e6"),
+            F.floor(F.sum("price_e2").cast("double") * 10000 / F.count("*"))
+            .cast("long")
+            .alias("avg_price_e6"),
+            F.floor(F.sum("disc_e6").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("avg_disc_e6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.dedup import exact_dedup
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "digest",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.dedup import minhash_lsh_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_bands").cast("long").alias("n_bands"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.dedup import simhash_dup_groups
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return simhash_dup_groups(docs).select(
+        F.col("simhash").cast("long").alias("simhash"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.dedup import ngram_jaccard_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.3).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.floor(F.col("jaccard") * 1000000 + 0.5).cast("long").alias("jaccard_e6"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.text import lang_id
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.text import quality_score
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.col("punct_ratio") * 1000000 + 0.5).cast("long").alias("punct_e6"),
+        F.floor(F.col("stop_ratio") * 1000000 + 0.5).cast("long").alias("stop_e6"),
+        F.floor(F.col("quality") * 1000000 + 0.5).cast("long").alias("quality_e6"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.text import token_stats
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return token_stats(docs).groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens_bpe").cast("long").alias("total_bpe_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.text import fingerprint
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    return fingerprint(docs).groupBy("lang").agg(
+        F.countDistinct("fingerprint").cast("long").alias("n_fingerprints"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.similarity import cosine_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return cosine_topk(emb, qvec, k=5, exclude_id=0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.similarity import lsh_signatures
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return (
+        lsh_signatures(emb, n_bits=8, dims=64)
+        .groupBy("sig")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from darc_spark.functions.similarity import hamming_near_pairs
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return hamming_near_pairs(emb, n_bits=16, dims=64, max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# -- non-SQL-expressible (rows-only checks) -----------------------------------
+def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop itself: 2 rounds on the synthetic web."""
+    import tempfile
+
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    crawler = Crawler(
+        spark,
+        tempfile.mkdtemp(prefix="q_crawl_"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, n_filter_buckets=4),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(2)
+    return crawler.store.read("fetches").select(
+        "fetch_round", "hostname", "url", "status_code", "is_html", "n_links"
+    )
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: robots.txt parsing → rules rows (pandas-batched)."""
+    import pandas as pd
+
+    from darc_spark.functions.robots import robots_rules_rows
+
+    corpus = [
+        ("h1", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 2\n", 200),
+        ("h2", "User-agent: bot\nDisallow: /b/\n\nUser-agent: *\nDisallow:\n", 200),
+        ("h3", "", 403),
+        ("h4", "", 404),
+    ]
+    pdf = pd.DataFrame(corpus, columns=["hostname", "text", "status"])
+    rules = robots_rules_rows(pdf["hostname"], pdf["text"], pdf["status"])
+    return spark.createDataFrame(rules)
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode + feature-extract image payloads (mapInPandas)."""
+    from darc_spark.functions.images import encode_lossy, encode_png
+    from darc_spark.functions.multimodal import image_features
+    import numpy as np
+
+    rows = []
+    for i in range(64):
+        rng = np.random.default_rng(1000 + i)
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        fmt = "qpng" if i % 2 else "png"
+        data = encode_lossy(arr) if i % 2 else encode_png(arr)
+        rows.append((f"img{i:04d}", bytearray(data), fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return image_features(df)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: video frame sampling plumbing (deterministic fake)."""
+    from darc_spark.functions.multimodal import sample_frames
+
+    rows = [(f"vid{i}", bytearray(f"payload-{i}".encode() * 10)) for i in range(16)]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    return sample_frames(df, n_frames=3).select(
+        "media_id", "frame_index", F.length("frame_bytes").alias("frame_len")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier scheduling — classify a URL corpus with the
+    vectorized parser, then claim a politeness-bounded batch per host."""
+    from darc_spark.functions.canon import with_parsed_link
+    from darc_spark.operators.politeness import per_host_top_k
+
+    sf_dir = "/root/testdata/sf0.001"
+    urls = _url_corpus(spark, sf_dir)
+    parsed = with_parsed_link(urls).withColumn(
+        "priority", F.lit(0).cast("int")
+    ).withColumn("enqueue_round", F.lit(0).cast("long"))
+    return per_host_top_k(parsed, 3, salt_shards=4).select(
+        "hostname", "proxy", "url", "name"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "link_classify": q_link_classify,
+        "url_name_sha256": q_url_name_sha256,
+        "frontier_claim": q_frontier_claim,
+        "url_seen_dedup": q_url_seen_dedup,
+        "hostname_agg": q_hostname_agg,
+        "link_graph_join": q_link_graph_join,
+        "redirect_history": q_redirect_history,
+        "sessionize": q_sessionize,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "phash_hamming": q_phash_hamming,
+        "crawl_rounds": q_crawl_rounds,
+        "robots_rules": q_robots_rules,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _duck_minhash_sig(bands: int = 4) -> str:
+    mins = ", ".join(
+        "min(" + _H64_DUCK.format(x=f"'{b}#' || shingle") + f") AS mh{b}"
+        for b in range(bands)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b} AS minhash FROM agged" for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      ELSE [] END
+  ) AS shingle FROM toks
+), agged AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), sigs AS ({unions})
+"""
+
+
+def _simhash_duck(bits: int = 16) -> str:
+    th = _H64_DUCK.format(x="tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {th} AS th FROM toks
+), sums AS (
+  SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, ({sig}) AS simhash FROM sums
+)
+"""
+
+
+def _planes_literal(n_bits: int, dims: int) -> list[str]:
+    from darc_spark.functions.similarity import plane
+
+    out = []
+    for i in range(n_bits):
+        vals = ", ".join(repr(v) for v in plane(i, dims))
+        out.append(f"[{vals}]")
+    return out
+
+
+def _sig_expr_duck(n_bits: int, dims: int, vec: str = "embedding") -> str:
+    planes = _planes_literal(n_bits, dims)
+    terms = []
+    for i, p in enumerate(planes):
+        dot = (
+            f"list_reduce(list_transform(range(1, {dims}+1), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({p})[j]), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_hits = (
+        f"len(list_filter(t, x -> list_contains({_STOP_DUCK}, x)))"
+    )
+    q_quality = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS_DUCK} AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(floor((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000 + 0.5) AS BIGINT) AS punct_e6,
+       CAST(floor((CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1)) * 1000000 + 0.5) AS BIGINT) AS stop_e6,
+       CAST(floor((0.4 * least(n_chars / 500.0, 1.0)
+          + 0.3 * (1 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+          + 0.3 * CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1)) * 1000000 + 0.5) AS BIGINT) AS quality_e6
+FROM base
+"""
+
+    q_lang = f"""
+WITH base AS (
+  SELECT lang, {_TOKS_DUCK} AS t FROM documents
+), scored AS (
+  SELECT lang,
+         CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1) AS stop_ratio
+  FROM base
+)
+SELECT lang, CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+    proxy_case = """
+CASE
+  WHEN url LIKE 'mailto:%' THEN 'mail'
+  WHEN url LIKE 'bitcoin:%' THEN 'bitcoin'
+  WHEN url LIKE 'data:%' THEN 'data'
+  WHEN url LIKE 'javascript:%' THEN 'script'
+  WHEN url LIKE 'wss:%' THEN 'wss'
+  WHEN url LIKE 'ftp:%' THEN 'ftp'
+  WHEN url LIKE '%.onion.sh/%' THEN 'tor2web'
+  WHEN url LIKE '%.onion/%' THEN 'tor'
+  WHEN url LIKE '%.i2p/%' THEN 'i2p'
+  WHEN url LIKE 'http://127.0.0.1:43110%' THEN 'zeronet'
+  WHEN url LIKE 'http://127.0.0.1:8888%' THEN 'freenet'
+  ELSE 'null'
+END
+"""
+    hostname_case = """
+CASE
+  WHEN url LIKE 'mailto:%' OR url LIKE 'bitcoin:%' OR url LIKE 'data:%'
+       OR url LIKE 'javascript:%' THEN '(null)'
+  WHEN url LIKE 'wss:%' THEN 'socket.example'
+  WHEN url LIKE 'http://127.0.0.1:43110%' THEN regexp_extract(url, '43110/([^/]+)', 1)
+  WHEN url LIKE 'http://127.0.0.1:8888%' THEN regexp_extract(url, '8888/([^/]+)', 1)
+  ELSE regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+END
+"""
+
+    return {
+        "link_classify": f"""
+WITH urls AS (SELECT ({_URL_CASE_DUCK}) AS url FROM documents)
+SELECT ({proxy_case}) AS proxy,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT ({hostname_case})) AS BIGINT) AS n_hosts
+FROM urls GROUP BY 1 ORDER BY 1
+""",
+        "url_name_sha256": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(({_URL_CASE_DUCK})) AS name
+FROM documents ORDER BY doc_id LIMIT 200
+""",
+        "frontier_claim": """
+WITH ranked AS (
+  SELECT CAST(user_id AS VARCHAR) AS hostname,
+         CAST(event_id AS BIGINT) AS event_id,
+         'u' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR) AS url,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY event_id,
+                    'u' || CAST(user_id AS VARCHAR) || '/' || CAST(event_id AS VARCHAR)
+         ) AS rn
+  FROM events
+)
+SELECT hostname, event_id, url FROM ranked WHERE rn <= 3
+""",
+        "url_seen_dedup": """
+SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_id >= 5000
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_id < 5000)
+""",
+        "hostname_agg": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) AS BIGINT) AS alive,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS since,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM events GROUP BY 1
+""",
+        "link_graph_join": """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "redirect_history": f"""
+WITH toks AS (
+  SELECT doc_id, list_slice({_TOKS_DUCK}, 1, 5) AS t FROM documents WHERE doc_id < 100
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(u['pos'] AS BIGINT) AS pos,
+       u['tok'] AS tok
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(t)), i -> {{'pos': i, 'tok': t[i+1]}})) AS u
+  FROM toks
+)
+""",
+        "sessionize": """
+WITH lagged AS (
+  SELECT user_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM lagged GROUP BY 1
+""",
+        "tpch_q1": """
+WITH scaled AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS disc_price_e2,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charge_e2,
+         CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_e6
+  FROM lineitem WHERE l_shipdate <= '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_e2) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(price_e2) AS BIGINT) AS sum_base_price_e2,
+       CAST(sum(disc_price_e2) AS BIGINT) AS sum_disc_price_e2,
+       CAST(sum(charge_e2) AS BIGINT) AS sum_charge_e2,
+       CAST(floor(CAST(sum(qty_e2) AS DOUBLE) * 10000 / count(*)) AS BIGINT) AS avg_qty_e6,
+       CAST(floor(CAST(sum(price_e2) AS DOUBLE) * 10000 / count(*)) AS BIGINT) AS avg_price_e6,
+       CAST(floor(CAST(sum(disc_e6) AS DOUBLE) / count(*)) AS BIGINT) AS avg_disc_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM scaled GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "dedup_exact": """
+SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_minhash_lsh": _duck_minhash_sig(4)
+        + """
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM sigs a JOIN sigs b
+  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+        "dedup_simhash": _simhash_duck(16)
+        + """
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM sigs GROUP BY 1 HAVING count(*) > 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      ELSE [] END
+  ) AS shingle FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+""",
+        "lang_id": q_lang,
+        "quality_score": q_quality,
+        "token_count": f"""
+SELECT source,
+       CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS total_words,
+       CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "fingerprint": f"""
+WITH fp AS (
+  SELECT lang,
+         {_H64_DUCK.format(x=f"array_to_string(list_slice({_TOKS_DUCK}, 1, 8), ' ')")} AS fingerprint
+  FROM documents
+)
+SELECT lang, CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fingerprints,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM fp GROUP BY 1
+""",
+        "cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_reduce(list_transform(range(1, len(embedding)+1),
+             j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                j -> CAST(qv[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)), (a, b) -> a + b))) AS cosine
+  FROM embeddings, q WHERE vec_id != 0
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+        "ann_lsh": f"""
+SELECT ({_sig_expr_duck(8, 64)}) AS sig, CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings GROUP BY 1
+""",
+        "phash_hamming": f"""
+WITH sigs AS (
+  SELECT vec_id, ({_sig_expr_duck(16, 64)}) AS sig FROM embeddings
+), banded AS (
+  SELECT vec_id, sig, sig % {1 << 4} AS band FROM sigs
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+    }

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Default: run the headline queries + a crawl-throughput round set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "crawl_urls_per_sec": ...}
+
+``--scaling`` re-runs the crawl bench at local[8] (N) and local[32]
+(4N) in clean subprocesses and writes BENCH/BASELINE.md with throughput
+at both plus scaling efficiency (BASELINE.json north_rule evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "link_classify",
+    "frontier_claim",
+    "url_seen_dedup",
+    "hostname_agg",
+    "link_graph_join",
+    "sessionize",
+    "tpch_q1",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "token_count",
+    "fingerprint",
+    "cosine_topk",
+    "ann_lsh",
+]
+
+CRAWL_HOSTS = tuple(
+    [f"h{i:02d}.example" for i in range(20)]
+    + ["dark0.onion", "dark1.onion", "hidden.i2p", "hot.example"]
+)
+
+
+def crawl_bench(spark, rounds: int = 3, per_host: int = 64) -> dict:
+    """Throughput: frontier URLs scheduled+fetched/sec over `rounds`."""
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=7, hosts=CRAWL_HOSTS, pages_per_host=4000, branching=6)
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        crawler = Crawler(
+            spark,
+            root,
+            web,
+            CrawlConfig(
+                per_host=per_host,
+                lease=3,
+                max_retries=1,
+                salt_shards=8,
+                n_filter_buckets=16,
+                selenium_enabled=True,
+            ),
+        )
+        crawler.seed([web.url(h, 0) for h in web.hosts])
+        t0 = time.perf_counter()
+        metrics = crawler.run(rounds)
+        dt = time.perf_counter() - t0
+        fetched = sum(
+            m.get("fetched_requests", 0) + m.get("claimed_selenium", 0)
+            for m in metrics
+        )
+        scheduled = sum(
+            m.get("claimed_requests", 0) + m.get("claimed_selenium", 0)
+            for m in metrics
+        )
+        return {
+            "seconds": dt,
+            "fetched": fetched,
+            "scheduled": scheduled,
+            "urls_per_sec": (scheduled + fetched) / dt if dt else 0.0,
+            "rounds": rounds,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
+    from darc_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("darc-spark-bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        queries = entry_mod.queries()
+        per_query: dict[str, float] = {}
+        if not crawl_only:
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.count()  # execute the full plan
+                per_query[name] = round(time.perf_counter() - t0, 3)
+        crawl = crawl_bench(spark)
+        per_query["crawl_3rounds"] = round(crawl["seconds"], 3)
+        return {"queries": per_query, "crawl": crawl}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--crawl-subprocess", str(n)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                check=True,
+            )
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+        eff = (t32 / t8) / 4 if t8 else 0.0
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(
+                "# BENCH/BASELINE — crawl throughput scaling (N vs 4N)\n\n"
+                "Same job, same input (seeded synthetic frontier, "
+                f"{len(CRAWL_HOSTS)} hosts x 4000 pages, 3 rounds), two "
+                "parallelism levels on one 32-core box — the sandbox "
+                "stand-in for N->4N executors (BASELINE.json north_rule).\n\n"
+                "| master | scheduled+fetched URLs | seconds | URLs/sec |\n"
+                "| --- | --- | --- | --- |\n"
+                f"| local[8] (N) | {results[8]['scheduled'] + results[8]['fetched']:.0f} "
+                f"| {results[8]['seconds']:.1f} | {t8:.1f} |\n"
+                f"| local[32] (4N) | {results[32]['scheduled'] + results[32]['fetched']:.0f} "
+                f"| {results[32]['seconds']:.1f} | {t32:.1f} |\n\n"
+                f"**Scaling efficiency (T_4N / T_N) / 4 = {eff:.2f}** "
+                f"(pass bar: >= 0.8)\n"
+            )
+        print(json.dumps({"local8": results[8], "local32": results[32], "efficiency": eff}))
+        return
+
+    if "--crawl-subprocess" in sys.argv:
+        n = sys.argv[sys.argv.index("--crawl-subprocess") + 1]
+        res = run_bench(f"local[{n}]", sf_dir, crawl_only=True)
+        print(json.dumps(res["crawl"]))
+        return
+
+    res = run_bench(f"local[{cpus}]", sf_dir)
+    total = round(sum(res["queries"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total seconds: headline queries + 3-round crawl "
+                "(frontier schedule+fetch) on local[%s]" % cpus,
+                "value": total,
+                "unit": "sec",
+                "queries": res["queries"],
+                "sf": sf,
+                "crawl_urls_per_sec": round(res["crawl"]["urls_per_sec"], 1),
+                "crawl_urls": res["crawl"]["scheduled"] + res["crawl"]["fetched"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

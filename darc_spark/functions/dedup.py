@@ -1,0 +1,169 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Each is a composition of built-in DataFrame ops (explode / groupBy /
+self-join) — no Python UDFs — with exactly-matching ANSI-SQL oracles in
+``__spark_entry__``. Scale notes per operator:
+
+* exact        — one hash-aggregate on md5(text); shuffle on the digest
+                 (uniform, no skew).
+* minhash LSH  — shingle→minhash per band → candidates join per
+                 (band, signature): the classic shuffle-once banding; a
+                 hot signature (boilerplate dup cluster) is bounded by
+                 the cluster size itself, and AQE skew-join splits it.
+* simhash      — explode tokens → one groupBy(doc) with B conditional
+                 sums (map-side partial agg) → near-dup by signature.
+* n-gram jaccard — candidate pairs restricted to shared-shingle pairs
+                 (anti cross-join); verification is exact set overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from darc_spark.functions.text import h64, tokens
+
+SHINGLE_K = 3
+
+
+def shingles(col, k: int = SHINGLE_K):
+    """k-word shingles, [] for short docs. SQL-portable."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest; keeps min id as canonical."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """(id, band, min over shingles of h64(band||'#'||shingle)) rows."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    # ONE shuffle: all band-minima in a single hash aggregate (map-side
+    # partial min), then stack wide→long without another shuffle
+    agged = exploded.groupBy(id_col).agg(
+        *[
+            F.min(h64(F.concat(F.lit(f"{b}#"), F.col("shingle")))).alias(f"mh{b}")
+            for b in range(bands)
+        ]
+    )
+    stack_args = ", ".join(f"{b}, mh{b}" for b in range(bands))
+    return agged.selectExpr(
+        id_col, f"stack({bands}, {stack_args}) as (band, minhash)"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs colliding in ≥1 LSH band."""
+    sigs = minhash_signatures(df, id_col, text_col, bands)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over token multiset: bit b set iff Σ±1 over tokens ≥ 0."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.withColumn("th", h64(F.col("tok")))
+    sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical SimHash signature (near-dup buckets)."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shared-shingle candidate pairs."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: JVM-side
+  ``zip_with``/``aggregate`` dot products (no Python), broadcast query
+  vector. The O(N) baseline every ANN variant is checked against.
+* :func:`lsh_signatures` / :func:`ann_lsh_topk` — random-hyperplane LSH:
+  sign-bit signatures against a deterministic plane set; candidates are
+  the query's bucket only (prefix-band), then exact cosine re-rank. At
+  10^10 rows the bucket join replaces the full scan — the signature
+  table is the "index".
+* :func:`hamming_near_pairs` — signature-level near-dup pairs via
+  ``xor``+``bit_count``, banded by signature prefix to avoid the cross
+  join (the embedding analogue of phash near-dup for images).
+
+All expressions are SQL-portable; the plane matrix is generated
+deterministically (md5-based) so the DuckDB oracle uses the *same
+literal planes*.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def plane(i: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ∈ [-1,1)^dims."""
+    out = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000) / 1000.0 - 1.0)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature (bit i = dot(v, plane_i) >= 0)."""
+    sig = None
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(dot(vec_col, pc) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def lsh_signatures(
+    df: DataFrame,
+    n_bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    planes = [plane(i, dims) for i in range(n_bits)]
+    return df.select(
+        F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("sig")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN: exact cosine re-rank restricted to the query's LSH bucket."""
+    planes = [plane(i, dims) for i in range(n_bits)]
+    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    bucket = sigs.filter(F.col("sig") == qsig)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = bucket.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias("cosine"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    n_bits: int = 16,
+    dims: int = 64,
+    max_hamming: int = 3,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signature near-dup pairs, banded by low signature bits to avoid
+    the cross join (candidates must agree on the band — recall is the
+    standard multi-band tradeoff, exercised here with one band)."""
+    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(
+        id_col, "sig", F.pmod(F.col("sig"), F.lit(1 << band_bits)).alias("band")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

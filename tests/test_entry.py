@@ -1,0 +1,80 @@
+"""Local mirror of the driver's correctness gate: every queries() entry
+with an oracle_sql() runs on Spark and DuckDB at sf0.001 and must match
+on row count + column names + sorted values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    """Sort columns by name then rows by value — order-insensitive compare."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mism, f"{name}: first mismatch {a[mism[0]]} != {b[mism[0]]}"
+
+
+def test_every_query_runs(spark):
+    """Rows-only check for the non-oracle queries (driver's weak check)."""
+    oracles = set(entry_mod.oracle_sql())
+    for name, q in entry_mod.queries().items():
+        if name in oracles:
+            continue
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0, name
+        assert df.schema is not None
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"hostname", "proxy", "url", "name"}
