@@ -27,17 +27,23 @@ SHINGLE_K = 3
 
 
 def shingles(col, k: int = SHINGLE_K):
-    """k-word shingles, [] for short docs. SQL-portable."""
+    """k-word shingles, [] for short docs. SQL-portable.
+
+    Built with ``zip_with`` over shifted slices rather than
+    ``transform(sequence, i -> element_at(toks, i+j))`` — Catalyst
+    re-inlines the tokenizer into lambda bodies, so the element_at form
+    re-splits the whole document once per shingle (O(tokens²) per row,
+    measured 10× slower). The slice form evaluates the tokenizer O(k)
+    times per row.
+    """
     toks = tokens(col)
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(toks)
+    length = F.greatest(n - (k - 1), F.lit(0))
+    sh = F.slice(toks, 1, length)
+    for j in range(1, k):
+        nxt = F.slice(tokens(col), F.lit(j + 1), length)
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -79,7 +85,9 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
 ) -> DataFrame:
     """Candidate near-dup pairs: docs colliding in ≥1 LSH band."""
-    sigs = minhash_signatures(df, id_col, text_col, bands)
+    # cache: the signature table (docs×bands rows, tiny next to the
+    # corpus) feeds both sides of the self-join — compute it once
+    sigs = minhash_signatures(df, id_col, text_col, bands).cache()
     a = sigs.alias("a")
     b = sigs.alias("b")
     return (
@@ -140,6 +148,7 @@ def ngram_jaccard_pairs(
     sh = (
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
         .distinct()
+        .cache()  # feeds sizes + both join sides
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")

@@ -129,7 +129,7 @@ def hamming_near_pairs(
     standard multi-band tradeoff, exercised here with one band)."""
     sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(
         id_col, "sig", F.pmod(F.col("sig"), F.lit(1 << band_bits)).alias("band")
-    )
+    ).cache()  # feeds both sides of the self-join
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

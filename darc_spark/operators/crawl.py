@@ -172,7 +172,13 @@ class Crawler:
         return docs.mapInPandas(derive, "hostname string, crawl_delay_rounds int")
 
     # -- new-host gate ---------------------------------------------------------
-    def _new_host_gate(self, batch: DataFrame, r: int) -> DataFrame | None:
+    def _new_host_gate(
+        self,
+        batch: DataFrame,
+        r: int,
+        kept_acc: list[DataFrame],
+        special_acc: list[DataFrame],
+    ) -> DataFrame | None:
         """robots/sitemap/hosts.txt for first-seen hosts (darc/crawl.py:141-166).
 
         Returns this round's fresh robots docs (also appended to the store)
@@ -278,7 +284,9 @@ class Crawler:
         sitemap_links = with_parsed_link(
             sitemap_rows.select(F.col("loc").alias("url"))
         ).withColumn("backref", F.col("url"))
-        self._enqueue_extracted(sitemap_links, r)
+        k, sp = self._route_links(sitemap_links, r)
+        kept_acc.append(k)
+        special_acc.append(sp)
 
         # i2p new hosts: hosts.txt subscription (darc/crawl.py:156-161)
         i2p_new = new_hosts.filter(F.col("proxy") == "i2p")
@@ -306,33 +314,32 @@ class Crawler:
                     ).alias("backref_url"),
                 )
             ).withColumn("backref", F.col("backref_url")).drop("backref_url")
-            self._enqueue_extracted(hosts_links, r)
+            k, sp = self._route_links(hosts_links, r)
+            kept_acc.append(k)
+            special_acc.append(sp)
         return fresh_docs
 
-    def _enqueue_extracted(self, links: DataFrame, r: int) -> DataFrame:
-        """Route parsed links: special sinks vs crawlable enqueue (F1/F2)."""
-        crawlable = links.filter(
-            F.col("proxy").isin(*CRAWLABLE_PROXIES)
-            & F.col("scheme").isin(*CRAWLABLE_SCHEMES)
+    def _route_links(self, links: DataFrame, r: int) -> tuple[DataFrame, DataFrame]:
+        """Route parsed links (pure, no writes): (kept_crawlable, special).
+
+        Special-scheme links go to their sink rows; crawlable links pass
+        the F1/F2 extraction filters (darc/parse.py:244-273). Callers
+        batch many routings into ONE special-sink append and ONE
+        enqueue-NX per stage — a handful of Spark jobs per round instead
+        of one per link source.
+        """
+        is_crawlable = F.col("proxy").isin(*CRAWLABLE_PROXIES) & F.col(
+            "scheme"
+        ).isin(*CRAWLABLE_SCHEMES)
+        special = links.filter(~is_crawlable).select(
+            F.when(F.col("proxy") == "", "invalid")
+            .otherwise(F.col("proxy"))
+            .alias("kind"),
+            "url",
+            "backref",
+            F.lit(r).cast("long").alias("round"),
         )
-        special = links.filter(
-            ~(
-                F.col("proxy").isin(*CRAWLABLE_PROXIES)
-                & F.col("scheme").isin(*CRAWLABLE_SCHEMES)
-            )
-        )
-        self.store.append(
-            "special_links",
-            special.select(
-                F.when(F.col("proxy") == "", "invalid")
-                .otherwise(F.col("proxy"))
-                .alias("kind"),
-                "url",
-                "backref",
-                F.lit(r).cast("long").alias("round"),
-            ),
-        )
-        keep = crawlable.filter(
+        keep = links.filter(is_crawlable).filter(
             ~match_proxy_drop(
                 F.col("proxy"),
                 list(self.cfg.proxy_white),
@@ -346,8 +353,28 @@ class Crawler:
                 self.cfg.host_fallback,
             )
         )
-        self.fr_req.enqueue_nx(keep, r, use_filter=self.cfg.use_seen_filter)
-        return keep
+        return keep, special
+
+    _LINK_SELECT = ["name", "url", "scheme", "proxy", "host", "hostname", "backref"]
+
+    def _flush_links(
+        self,
+        fr: Frontier,
+        kept: list[DataFrame],
+        special: list[DataFrame],
+        r: int,
+    ) -> None:
+        """One special-sink append + one enqueue-NX for a whole stage."""
+        if special:
+            out = special[0]
+            for d in special[1:]:
+                out = out.unionByName(d)
+            self.store.append("special_links", out)
+        if kept:
+            out = kept[0].select(*self._LINK_SELECT)
+            for d in kept[1:]:
+                out = out.unionByName(d.select(*self._LINK_SELECT))
+            fr.enqueue_nx(out, r, use_filter=self.cfg.use_seen_filter)
 
     # -- round stages ---------------------------------------------------------
     def _claim_filters(self, claimed: DataFrame, fr: Frontier, r: int) -> DataFrame:
@@ -368,6 +395,78 @@ class Crawler:
             fr.drop(to_drop, r, reason="filtered")
         return claimed.filter(~drop_cond)
 
+    def _raw_stats(self, raw: DataFrame, cfg: CrawlConfig) -> dict[str, int]:
+        """ONE aggregate job over the materialized fetch batch drives all
+        branch decisions for the round (replaces per-branch isEmpty jobs)."""
+        mime_drop = match_mime_drop(
+            F.col("content_type"),
+            list(cfg.mime_white),
+            list(cfg.mime_black),
+            cfg.mime_fallback,
+        )
+        row = raw.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("no_return").cast("int")).alias("n_noreturn"),
+            F.sum((~F.col("no_return") & ~F.col("is_html") & mime_drop).cast("int")).alias(
+                "n_mimedrop"
+            ),
+            F.sum(
+                (
+                    ~F.col("no_return")
+                    & ~F.col("is_html")
+                    & (F.col("proxy") == "i2p")
+                    & F.col("content_type").isin("text/plain", "text/text")
+                    & F.col("body_text").isNotNull()
+                ).cast("int")
+            ).alias("n_i2p_plain"),
+            F.sum(
+                (~F.col("no_return") & F.col("is_html") & F.col("empty_body")).cast("int")
+            ).alias("n_html_empty"),
+            F.sum(
+                (
+                    ~F.col("no_return")
+                    & F.col("is_html")
+                    & ~F.col("empty_body")
+                    & (F.col("status_code") < 400)
+                ).cast("int")
+            ).alias("n_ok"),
+            F.sum(
+                (
+                    ~F.col("no_return")
+                    & F.col("is_html")
+                    & ~F.col("empty_body")
+                    & (F.col("status_code") >= 400)
+                ).cast("int")
+            ).alias("n_failed"),
+            F.sum(
+                F.when(
+                    ~F.col("no_return") & F.col("is_html") & ~F.col("empty_body"),
+                    F.coalesce(F.size("links"), F.lit(0)),
+                ).otherwise(0)
+            ).alias("n_extracted"),
+        ).head()
+        return {k: int(row[k] or 0) for k in row.asDict()}
+
+    def _fetches_rows(self, raw: DataFrame, r: int) -> DataFrame:
+        return raw.select(
+            "name",
+            "url",
+            "hostname",
+            "proxy",
+            F.lit(r).cast("long").alias("fetch_round"),
+            "status_code",
+            "content_type",
+            "is_html",
+            F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+        )
+
     def _requests_stage(self, r: int) -> dict[str, float]:
         cfg = self.cfg
         claimed = self.fr_req.claim(
@@ -381,8 +480,10 @@ class Crawler:
         m = {"claimed_requests": float(claimed.count())}
         if m["claimed_requests"] == 0:
             return m
+        kept_acc: list[DataFrame] = []
+        special_acc: list[DataFrame] = []
         keep = self._claim_filters(claimed, self.fr_req, r)
-        fresh_docs = self._new_host_gate(keep, r)
+        fresh_docs = self._new_host_gate(keep, r, kept_acc, special_acc)
 
         if cfg.robots_enabled:
             docs = self._robots_docs(extra=fresh_docs)
@@ -404,37 +505,16 @@ class Crawler:
         raw = self.store.write_scratch(
             "fetch_raw_requests", run_fetch(allowed, self.web.pages_batch)
         )
-        m["fetched_requests"] = float(raw.count())
+        st = self._raw_stats(raw, cfg)
+        m["fetched_requests"] = float(st["n"])
 
         # fetches table — every response row (headers/doc sink, S9/S10/S13)
-        self.store.append(
-            "fetches",
-            raw.select(
-                "name",
-                "url",
-                "hostname",
-                "proxy",
-                F.lit(r).cast("long").alias("fetch_round"),
-                "status_code",
-                "content_type",
-                "is_html",
-                F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
-                "image_id",
-                "bytes",
-                "w",
-                "h",
-                "fmt",
-                "caption",
-                "phash",
-            ),
-        )
+        self.store.append("fetches", self._fetches_rows(raw, r))
 
         # LinkNoReturn from site hooks → permanent drop
-        no_return = raw.filter(F.col("no_return"))
-        if not no_return.isEmpty():
-            self.fr_req.drop(no_return, r, reason="no-return")
+        if st["n_noreturn"]:
+            self.fr_req.drop(raw.filter(F.col("no_return")), r, reason="no-return")
         live = raw.filter(~F.col("no_return"))
-
         html = live.filter(F.col("is_html"))
         generic = live.filter(~F.col("is_html"))
 
@@ -445,19 +525,18 @@ class Crawler:
             list(cfg.mime_black),
             cfg.mime_fallback,
         )
-        to_drop = generic.filter(mime_drop)
-        if not to_drop.isEmpty():
-            self.fr_req.drop(to_drop, r, reason="mime-filtered")
+        if st["n_mimedrop"]:
+            self.fr_req.drop(generic.filter(mime_drop), r, reason="mime-filtered")
         generic_kept = generic.filter(~mime_drop)
         # i2p hosts.txt bodies feed the queue (darc/crawl.py:203-206)
-        i2p_plain = generic_kept.filter(
-            (F.col("proxy") == "i2p")
-            & F.col("content_type").isin("text/plain", "text/text")
-            & F.col("body_text").isNotNull()
-        )
-        if not i2p_plain.isEmpty():
+        if st["n_i2p_plain"]:
             from darc_spark.functions.hosts import extract_i2p_hosts
 
+            i2p_plain = generic_kept.filter(
+                (F.col("proxy") == "i2p")
+                & F.col("content_type").isin("text/plain", "text/text")
+                & F.col("body_text").isNotNull()
+            )
             found = extract_i2p_hosts(
                 i2p_plain.select(
                     F.col("body_text").alias("text"),
@@ -469,26 +548,33 @@ class Crawler:
             hosts_links = with_parsed_link(
                 found.select("url", "backref_url")
             ).withColumn("backref", F.col("backref_url")).drop("backref_url")
-            self._enqueue_extracted(hosts_links, r)
-        self.fr_req.mark_done(generic_kept, r, revisit_after=r + cfg.revisit)
+            k, sp = self._route_links(hosts_links, r)
+            kept_acc.append(k)
+            special_acc.append(sp)
+        if st["n"] - st["n_noreturn"] - st["n_html_empty"] - st["n_ok"] - st[
+            "n_failed"
+        ] - st["n_mimedrop"]:
+            self.fr_req.mark_done(generic_kept, r, revisit_after=r + cfg.revisit)
 
         # HTML branch
-        empty = html.filter(F.col("empty_body"))
-        self._retry_or_drop(self.fr_req, empty, r, reason="empty-body")
         solid = html.filter(~F.col("empty_body"))
 
-        # extraction (even for !ok responses — darc/crawl.py:222-230)
+        # extraction (even for !ok responses — darc/crawl.py:222-230):
+        # explode→classify→route runs lazily inside ONE materialization
         exploded = solid.select(
             F.col("name").alias("parent_name"),
             F.col("url").alias("parent_url"),
             F.explode_outer("links").alias("child_url"),
         ).filter(F.col("child_url").isNotNull())
-        exploded = self.store.write_scratch("extracted_requests", exploded)
-        m["extracted"] = float(exploded.count())
+        m["extracted"] = float(st["n_extracted"])
         child_links = with_parsed_link(
             exploded.select(F.col("child_url").alias("url"), "parent_name", "parent_url")
         ).withColumn("backref", F.col("parent_url"))
-        kept_children = self._enqueue_extracted(child_links, r)
+        kept_children, sp = self._route_links(child_links, r)
+        # materialize once: feeds both the enqueue union and the edges rows
+        kept_children = self.store.write_scratch("kept_children_requests", kept_children)
+        kept_acc.append(kept_children)
+        special_acc.append(sp)
         self.store.append(
             "edges",
             kept_children.select(
@@ -499,15 +585,25 @@ class Crawler:
                 F.lit(r).cast("long").alias("round"),
             ),
         )
+        self._flush_links(self.fr_req, kept_acc, special_acc, r)
 
-        ok = solid.filter(F.col("status_code") < 400)
-        failed = solid.filter(F.col("status_code") >= 400)
-        self.fr_req.mark_done(ok, r, revisit_after=r + cfg.revisit)
-        if cfg.selenium_enabled and not ok.isEmpty():
-            # promote ok pages to the render queue (darc/crawl.py:233)
-            self.fr_sel.enqueue_nx(ok, r, use_filter=cfg.use_seen_filter)
-        self._retry_or_drop(self.fr_req, failed, r, reason="http-error")
-        m["ok_requests"] = float(ok.count())
+        if st["n_ok"]:
+            ok = solid.filter(F.col("status_code") < 400)
+            self.fr_req.mark_done(ok, r, revisit_after=r + cfg.revisit)
+            if cfg.selenium_enabled:
+                # promote ok pages to the render queue (darc/crawl.py:233)
+                self.fr_sel.enqueue_nx(ok, r, use_filter=cfg.use_seen_filter)
+        failures = html.filter(
+            F.col("empty_body") | (~F.col("empty_body") & (F.col("status_code") >= 400))
+        )
+        self._retry_or_drop(
+            self.fr_req,
+            failures,
+            r,
+            reason="fetch-failed",
+            n_failures=st["n_html_empty"] + st["n_failed"],
+        )
+        m["ok_requests"] = float(st["n_ok"])
         return m
 
     def _selenium_stage(self, r: int) -> dict[str, float]:
@@ -522,53 +618,44 @@ class Crawler:
         raw = self.store.write_scratch(
             "fetch_raw_selenium", run_fetch(keep, self.web.pages_batch)
         )
-        self.store.append(
-            "fetches_selenium",
-            raw.select(
-                "name",
-                "url",
-                "hostname",
-                "proxy",
-                F.lit(r).cast("long").alias("fetch_round"),
-                "status_code",
-                "content_type",
-                "is_html",
-                F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
-                "image_id",
-                "bytes",
-                "w",
-                "h",
-                "fmt",
-                "caption",
-                "phash",
-            ),
-        )
+        st = self._raw_stats(raw, cfg)
+        self.store.append("fetches_selenium", self._fetches_rows(raw, r))
         # rendered-page extraction feeds the REQUESTS queue (darc/crawl.py:349)
         solid = raw.filter(F.col("is_html") & ~F.col("empty_body"))
-        exploded = self.store.write_scratch(
-            "extracted_selenium",
-            solid.select(
-                F.col("url").alias("parent_url"),
-                F.explode_outer("links").alias("child_url"),
-            ).filter(F.col("child_url").isNotNull()),
-        )
+        exploded = solid.select(
+            F.col("url").alias("parent_url"),
+            F.explode_outer("links").alias("child_url"),
+        ).filter(F.col("child_url").isNotNull())
         child_links = with_parsed_link(
             exploded.select(F.col("child_url").alias("url"), "parent_url")
         ).withColumn("backref", F.col("parent_url"))
-        self._enqueue_extracted(child_links, r)
-        self.fr_sel.mark_done(solid, r, revisit_after=r + cfg.revisit)
+        k, sp = self._route_links(child_links, r)
+        self._flush_links(self.fr_req, [k], [sp], r)
+        n_rendered = st["n_ok"] + st["n_failed"]  # html & nonempty
+        if n_rendered:
+            self.fr_sel.mark_done(solid, r, revisit_after=r + cfg.revisit)
         # empty render → requeue (SE_EMPTY sentinel, darc/crawl.py:327-330)
         failed = raw.filter(~(F.col("is_html") & ~F.col("empty_body")))
-        self._retry_or_drop(self.fr_sel, failed, r, reason="render-failed")
-        m["rendered"] = float(solid.count())
+        self._retry_or_drop(
+            self.fr_sel, failed, r, reason="render-failed",
+            n_failures=st["n"] - n_rendered,
+        )
+        m["rendered"] = float(n_rendered)
         return m
 
     def _retry_or_drop(
-        self, fr: Frontier, rows: DataFrame, r: int, reason: str
+        self,
+        fr: Frontier,
+        rows: DataFrame,
+        r: int,
+        reason: str,
+        n_failures: int | None = None,
     ) -> None:
         """Failure path: requeue now (darc requeues forever); cap for
         termination via max_retries (engine extension)."""
-        if rows.isEmpty():
+        if n_failures == 0:
+            return
+        if n_failures is None and rows.isEmpty():
             return
         retry = rows.filter(F.col("retry_count") < self.cfg.max_retries)
         give_up = rows.filter(F.col("retry_count") >= self.cfg.max_retries)
@@ -583,10 +670,8 @@ class Crawler:
         metrics = self._requests_stage(r)
         if self.cfg.selenium_enabled:
             metrics.update(self._selenium_stage(r))
-        rows = [(r, k, float(v)) for k, v in metrics.items()]
-        self.store.append(
-            "metrics", self.spark.createDataFrame(rows, METRICS)
-        )
+        # metrics ride in the manifest meta (no extra write job); the
+        # metrics() accessor rebuilds the table from manifests on demand
         if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:
             self.fr_req.compact(r)
             self.fr_sel.compact(r)
@@ -595,6 +680,24 @@ class Crawler:
         for hook in HOOKS:
             hook(r, self)
         return metrics
+
+    def metrics_table(self) -> DataFrame:
+        """Per-round metrics reconstructed from manifest metas (A5)."""
+        import json as _json
+        import os as _os
+        import re as _re
+
+        rows = []
+        mdir = _os.path.join(self.store.root, "_manifests")
+        for fn in sorted(_os.listdir(mdir)):
+            if not _re.match(r"^v\d{6}\.json$", fn):
+                continue
+            with open(_os.path.join(mdir, fn)) as f:
+                meta = _json.load(f).get("meta", {})
+            if "metrics" in meta:
+                for k, v in meta["metrics"].items():
+                    rows.append((int(meta["round"]), k, float(v)))
+        return self.spark.createDataFrame(rows, METRICS)
 
     def run(self, rounds: int) -> list[dict[str, float]]:
         out = []

@@ -79,6 +79,7 @@ def run_fetch(
     fetch_fn: Callable[[pd.Series], pd.DataFrame],
     extract: bool = True,
     keep_plain_body: bool = True,
+    fetch_salt: int = 8,
 ) -> DataFrame:
     """claimed batch → FETCH_RESULT rows via one mapInPandas pass.
 
@@ -131,6 +132,25 @@ def run_fetch(
             out["phash"] = pages["phash"].astype("Int64")
             yield out
 
-    # one host per task slice: politeness affinity; budget keeps slices small
-    batch = claimed.repartition(F.col("hostname"))
+    # Hash-partition by (hostname, salt) with an EXPLICIT partition count:
+    #
+    # * explicit count — AQE would otherwise coalesce this exchange to ~1
+    #   partition because claim rows are tiny; it optimizes bytes and
+    #   cannot see that the downstream fetch UDF is the expensive part
+    #   (measured: the whole fetch ran in ONE task without this).
+    # * salt — politeness is enforced by the claim window (per-host
+    #   budget), not by fetch serialization; pinning a whole host to one
+    #   task makes task balance host-granular and leaves stragglers in
+    #   the last wave. Salting splits hot hosts across `fetch_salt`
+    #   shards while batches stay mostly host-local (session reuse).
+    spark = claimed.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
+    batch = claimed.repartition(
+        n_parts,
+        F.col("hostname"),
+        F.pmod(F.xxhash64("url"), F.lit(fetch_salt)),
+    )
     return batch.mapInPandas(fn, FETCH_RESULT)

@@ -138,10 +138,33 @@ class Frontier:
     def seen(self) -> DataFrame:
         """Names currently in the seen set (tombstone-resolved).
 
-        Reads committed + staged events so a second enqueue within the
-        same (uncommitted) round still observes NX semantics.
+        The seen set is a VIEW over three event sources — no write on the
+        enqueue hot path: frontier attempt events are implicit "adds",
+        ``dropped`` events are tombstones, and the ``url_seen`` table only
+        holds compaction snapshots. Latest event per name (by event_seq)
+        wins. Reads committed + staged segments so a second enqueue within
+        the same (uncommitted) round still observes NX semantics.
         """
-        ev = self.store.read_all(self.t_seen)
+        adds = self.store.read_all(self.t_frontier).select(
+            "name",
+            "url",
+            "hostname",
+            F.col("enqueue_round").alias("seen_round"),
+            F.lit(False).alias("deleted"),
+            "event_seq",
+        )
+        snap = self.store.read_all(self.t_seen).select(
+            "name", "url", "hostname", "seen_round", "deleted", "event_seq"
+        )
+        tombs = self.store.read_all(self.t_dropped).select(
+            "name",
+            F.lit("").alias("url"),
+            F.lit("").alias("hostname"),
+            F.col("round").alias("seen_round"),
+            F.lit(True).alias("deleted"),
+            "event_seq",
+        )
+        ev = adds.unionByName(snap).unionByName(tombs)
         w = Window.partitionBy("name").orderBy(F.col("event_seq").desc())
         return (
             ev.withColumn("_rn", F.row_number().over(w))
@@ -284,21 +307,11 @@ class Frontier:
             .select([f.name for f in FRONTIER.fields])
         )
         self.store.append(self.t_frontier, rows)
-        # derive url_seen + filter updates from the *written* segment —
-        # one computation of the anti-join, no cache/recompute divergence
-        written = self._staged_tail(self.t_frontier)
-        self.store.append(
-            self.t_seen,
-            written.select(
-                "name",
-                "url",
-                "hostname",
-                F.lit(current_round).cast("long").alias("seen_round"),
-                F.lit(False).alias("deleted"),
-                F.col("event_seq"),
-            ),
-        )
+        # the frontier segment IS the url_seen add event (seen() is a
+        # view); filter updates read the *written* segment — one
+        # computation of the anti-join, no recompute divergence
         if use_filter:
+            written = self._staged_tail(self.t_frontier)
             self._update_filter(written.select("name"))
 
     def _staged_tail(self, table: str) -> DataFrame:
@@ -330,6 +343,7 @@ class Frontier:
         current_round: int,
         ignore_leases: bool = False,
         ignore_not_before: bool = False,
+        ignore_done: bool = False,
     ) -> DataFrame:
         """Claimable rows now: latest attempt, not done/dropped/leased."""
         ev = self.store.read(self.t_frontier)
@@ -339,13 +353,14 @@ class Frontier:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        done = self.store.read(self.t_done).groupBy("name").agg(
-            F.min("revisit_after").alias("revisit_after")
-        )
-        latest = latest.join(done, "name", "left").filter(
-            F.col("revisit_after").isNull()
-            | (F.lit(current_round) >= F.col("revisit_after"))
-        ).drop("revisit_after")
+        if not ignore_done:
+            done = self.store.read(self.t_done).groupBy("name").agg(
+                F.min("revisit_after").alias("revisit_after")
+            )
+            latest = latest.join(done, "name", "left").filter(
+                F.col("revisit_after").isNull()
+                | (F.lit(current_round) >= F.col("revisit_after"))
+            ).drop("revisit_after")
         dropped = self.store.read(self.t_dropped).groupBy("name").agg(
             F.max("event_seq").alias("drop_seq")
         )
@@ -421,17 +436,6 @@ class Frontier:
             .withColumn("reason", F.lit(reason))
             .withColumn("event_seq", F.lit(seq).cast("long")),
         )
-        self.store.append(
-            self.t_seen,
-            d.select(
-                "name",
-                "url",
-                "hostname",
-                F.lit(current_round).cast("long").alias("seen_round"),
-                F.lit(True).alias("deleted"),
-                F.lit(seq).cast("long").alias("event_seq"),
-            ),
-        )
         if update_filter and self.filter_kind == "cuckoo":
             self._update_filter(
                 added=d.select("name").limit(0), removed=d.select("name")
@@ -446,7 +450,10 @@ class Frontier:
         state-transparent at any point in the crawl.
         """
         survivors = self.pending(
-            current_round, ignore_leases=True, ignore_not_before=True
+            current_round,
+            ignore_leases=True,
+            ignore_not_before=True,
+            ignore_done=True,  # done rows stay: finite revisit_after must fire
         )
         self.store.replace(
             self.t_frontier, survivors.select([f.name for f in FRONTIER.fields])

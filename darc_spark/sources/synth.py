@@ -54,12 +54,14 @@ class SynthWeb:
         pages_per_host: int = 400,
         branching: int = 4,
         hot_share: int = 50,  # % of cross-host links going to hosts[0]
+        heavy_decode_px: int = 0,  # >0: bench mode, see page()
     ) -> None:
         self.seed = seed
         self.hosts = hosts
         self.pages_per_host = pages_per_host
         self.branching = branching
         self.hot_share = hot_share
+        self.heavy_decode_px = heavy_decode_px
 
     # -- hashing --------------------------------------------------------------
     def _h(self, *parts: object) -> int:
@@ -207,11 +209,35 @@ class SynthWeb:
         if content_type == "text/html" and (h >> 40) % 4 != 0:
             ih = self._h(host, kind, pid, "img")
             rng = np.random.default_rng(ih)
+            words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
+            if self.heavy_decode_px:
+                # bench mode: realistic payload pipeline — fetch a large
+                # image, PNG-encode ("the wire bytes"), decode-validate,
+                # store a 32px thumbnail (decode→resize→store is the
+                # standard training-ingest shape; keeps stored bytes small
+                # while the per-URL decode work is real)
+                from darc_spark.functions.images import decode_png
+
+                px = self.heavy_decode_px
+                big = rng.integers(0, 256, size=(px, px, 3), dtype=np.uint8)
+                wire = encode_png(big)
+                dec = decode_png(wire)
+                ys = (np.arange(32) * px) // 32
+                thumb = dec[ys][:, ys]
+                out.update(
+                    image_id=f"img-{host}-{kind}-{pid}",
+                    bytes=encode_png(thumb),
+                    w=32,
+                    h=32,
+                    fmt="png",
+                    caption=" ".join(words),
+                    phash=phash64(big),
+                )
+                return out
             side = 16 + int(ih % 3) * 8
             arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
             lossy = (ih >> 8) % 2 == 0
             data = encode_lossy(arr) if lossy else encode_png(arr)
-            words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
             out.update(
                 image_id=f"img-{host}-{kind}-{pid}",
                 bytes=data,

@@ -139,5 +139,5 @@ def test_kill_resume_equivalence(spark, tmp_path):
 
 def test_metrics_recorded(crawled):
     crawler, _ = crawled
-    rows = crawler.store.read("metrics").collect()
+    rows = crawler.metrics_table().collect()
     assert {r["metric"] for r in rows} >= {"claimed_requests", "fetched_requests"}
