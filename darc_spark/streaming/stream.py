@@ -1,0 +1,109 @@
+"""Structured Streaming surfaces of the engine.
+
+The reference is a continuous while-True micro-batcher
+(``darc/process.py:89-119``); the engine's batch loop already mirrors
+that with deterministic rounds (SURVEY.md §2.8 chose a batch loop for
+exact resume). These streaming pieces cover the genuinely-streaming
+edges of the system:
+
+* :class:`SeedStreamIngestor` — continuous seed ingestion: watch a
+  directory of seed files (the analogue of darc's remotely-fed Redis
+  queue / ``-f`` seed files, ``darc/__main__.py:145-161``), parse +
+  classify each micro-batch, enqueue-NX into the frontier via
+  ``foreachBatch`` (exactly-once per the store's snapshot commit).
+* :func:`fetches_stream` / :func:`hostname_counts_stream` — live crawl
+  monitoring: a stream over the append-only fetches segments with
+  per-host aggregation (darc's pool-count logging, ``darc/db.py:900``).
+
+File-source streams work because SnapshotStore segments are immutable,
+append-only Parquet directories — the same property Iceberg relies on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from darc_spark.functions.canon import with_parsed_link
+from darc_spark.operators.frontier import Frontier
+from darc_spark.schema import FETCHES
+from darc_spark.sources.store import SnapshotStore
+
+
+class SeedStreamIngestor:
+    """Stream seed URLs from a watched directory into the frontier."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        seed_dir: str,
+        stage: str = "requests",
+        use_filter: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.frontier = Frontier(store, stage)
+        self.seed_dir = seed_dir
+        self.use_filter = use_filter
+        self.batches_seen = 0
+        os.makedirs(seed_dir, exist_ok=True)
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        urls = batch_df.select(F.col("value").alias("url")).filter(
+            (F.trim("url") != "") & ~F.col("url").startswith("#")
+        )
+        links = with_parsed_link(urls.select(F.trim("url").alias("url"))).withColumn(
+            "backref", F.lit(None).cast("string")
+        )
+        current_round = int(self.store.latest_meta().get("round", -1)) + 1
+        self.frontier.enqueue_nx(
+            links, current_round, use_filter=self.use_filter
+        )
+        self.store.commit(
+            {"round": current_round - 1, "op": "seed-stream", "epoch": epoch_id}
+        )
+        self.batches_seen += 1
+
+    def start(self, checkpoint_dir: str) -> StreamingQuery:
+        stream = self.spark.readStream.format("text").load(self.seed_dir)
+        return (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+
+def fetches_stream(spark: SparkSession, store_root: str) -> DataFrame:
+    """Streaming view over the append-only fetches segments."""
+    path = os.path.join(store_root, "fetches")
+    return (
+        spark.readStream.schema(FETCHES)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(path, "seg-*"))
+    )
+
+
+def hostname_counts_stream(
+    spark: SparkSession, store_root: str, query_name: str = "host_counts"
+) -> StreamingQuery:
+    """Live per-host fetch counters → in-memory table ``query_name``."""
+    agg = (
+        fetches_stream(spark, store_root)
+        .groupBy("hostname")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("status_code") < 400, 1).otherwise(0)).alias("n_ok"),
+            F.max("fetch_round").alias("last_round"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
