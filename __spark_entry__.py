@@ -127,12 +127,21 @@ def q_frontier_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: ZADD-NX dedup as left_anti join (url_seen semantics)."""
+    """J5: ZADD-NX dedup as left_anti join (url_seen semantics).
+
+    Key = (user_id, props.k) — a fine-grained "URL" stand-in so the
+    fresh set is non-empty at every scale factor; threshold at the 80th
+    percentile of event_id splits seen vs new batch."""
     (events,) = _load(spark, sf_dir, "events")
-    seen = events.filter(F.col("event_id") < 5000).select("user_id").distinct()
-    batch = events.filter(F.col("event_id") >= 5000).select("user_id").distinct()
-    fresh = batch.join(seen, "user_id", "left_anti")
-    return fresh.select(F.col("user_id").cast("long").alias("user_id"))
+    keyed = events.select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.regexp_extract(F.col("props"), r"(\d+)", 1).cast("long").alias("k"),
+    )
+    threshold = keyed.agg(F.max("event_id")).head()[0] * 4 // 5
+    seen = keyed.filter(F.col("event_id") < threshold).select("user_id", "k").distinct()
+    batch = keyed.filter(F.col("event_id") >= threshold).select("user_id", "k").distinct()
+    return batch.join(seen, ["user_id", "k"], "left_anti")
 
 
 def q_hostname_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +215,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
         (F.sum("new_session") + 1).cast("long").alias("n_sessions"),
         F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog tumbling window aggregation (hourly buckets)."""
+    (events,) = _load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("sum_value_e2"),
     )
 
 
@@ -432,6 +455,27 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(df)
 
 
+def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 parity: render requests-submission JSON payloads from a mini
+    crawl (darc/submit.py:394-603 contract; rows-only check)."""
+    import tempfile
+
+    from darc_spark.functions.submit import requests_payloads
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=42, pages_per_host=30, branching=2)
+    crawler = Crawler(
+        spark,
+        tempfile.mkdtemp(prefix="q_submit_"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=0, selenium_enabled=False),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(2)
+    return requests_payloads(crawler.store.read("fetches"))
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: video frame sampling plumbing (deterministic fake)."""
     from darc_spark.functions.multimodal import sample_frames
@@ -469,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_join": q_link_graph_join,
         "redirect_history": q_redirect_history,
         "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -485,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
+        "submit_payloads": q_submit_payloads,
     }
 
 
@@ -644,8 +690,18 @@ WITH ranked AS (
 SELECT hostname, event_id, url FROM ranked WHERE rn <= 3
 """,
         "url_seen_dedup": """
-SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events WHERE event_id >= 5000
-  AND user_id NOT IN (SELECT user_id FROM events WHERE event_id < 5000)
+WITH keyed AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), thr AS (SELECT max(event_id) * 4 // 5 AS t FROM keyed),
+batch AS (
+  SELECT DISTINCT user_id, k FROM keyed, thr WHERE event_id >= t
+), seen AS (
+  SELECT DISTINCT user_id, k FROM keyed, thr WHERE event_id < t
+)
+SELECT b.user_id, b.k FROM batch b
+ANTI JOIN seen s ON b.user_id = s.user_id AND b.k = s.k
 """,
         "hostname_agg": """
 SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -689,6 +745,13 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT) AS n_events
 FROM lagged GROUP BY 1
+""",
+        "event_windows": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY 1, 2
 """,
         "tpch_q1": """
 WITH scaled AS (

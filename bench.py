@@ -208,7 +208,9 @@ def main() -> None:
         t8, t32 = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
         eff = (t32 / t8) / (n_hi / n_lo) if t8 else 0.0
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # BENCH/BASELINE.md is the curated analysis; each --scaling run
+        # writes its raw result alongside it
+        with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
             f.write(
                 "# BENCH/BASELINE — crawl throughput scaling (N vs 4N)\n\n"
                 "Same job, same input, two parallelism levels on one 32-core "

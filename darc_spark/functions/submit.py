@@ -1,0 +1,84 @@
+"""Submission payload rendering — S11 parity (``darc/submit.py``).
+
+The reference POSTs three JSON event shapes to a backend API
+(``submit_new_host`` ``darc/submit.py:249-391``, ``submit_requests``
+``:394-603``, ``submit_selenium`` ``:606-754``; JSON Schemas under
+``demo/schema/*.schema.json``). Here the archive IS the store's tables,
+but downstream consumers of the reference's API contract can get the
+same JSON documents rendered column-natively (``to_json(struct(...))``
+— JVM-side, no UDF) from the fetches/hostname tables.
+
+Field mapping (reference schema → columns):
+``$PARTIAL/$RELOAD`` flags are crawl-config constants; ``Timestamp`` →
+fetch_round (the engine's logical clock); ``URL`` → url; ``Base64``
+document → base64(bytes); metadata block → the parsed-link columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _metadata() -> F.Column:
+    return F.struct(
+        F.col("url").alias("url"),
+        F.col("proxy").alias("proxy"),
+        F.col("hostname").alias("host"),
+        F.col("name").alias("base"),
+        F.col("name").alias("name"),
+    )
+
+
+def new_host_payloads(hostname_state: DataFrame, partial: bool = False) -> DataFrame:
+    """One JSON document per discovered host (new_host.schema.json)."""
+    return hostname_state.select(
+        F.col("hostname"),
+        F.to_json(
+            F.struct(
+                F.lit(partial).alias("$PARTIAL$"),
+                F.lit(False).alias("$FORCE$"),
+                F.col("first_seen_round").alias("Timestamp"),
+                F.col("hostname").alias("URL"),
+                F.col("proxy").alias("Proxy"),
+            )
+        ).alias("payload"),
+    )
+
+
+def requests_payloads(fetches: DataFrame) -> DataFrame:
+    """One JSON document per crawler fetch (requests.schema.json)."""
+    return fetches.select(
+        F.col("name"),
+        F.to_json(
+            F.struct(
+                F.lit(False).alias("$PARTIAL$"),
+                F.col("fetch_round").alias("Timestamp"),
+                F.col("url").alias("URL"),
+                F.struct(
+                    F.col("status_code").alias("StatusCode"),
+                    F.col("content_type").alias("ContentType"),
+                    F.col("is_html").alias("HTML"),
+                ).alias("Response"),
+                _metadata().alias("Metadata"),
+                F.base64(F.col("bytes")).alias("Document"),
+            )
+        ).alias("payload"),
+    )
+
+
+def selenium_payloads(fetches_selenium: DataFrame) -> DataFrame:
+    """One JSON document per rendered page (selenium.schema.json);
+    the screenshot rides as base64 like the reference's PNG
+    (``darc/crawl.py:333-341``)."""
+    return fetches_selenium.select(
+        F.col("name"),
+        F.to_json(
+            F.struct(
+                F.col("fetch_round").alias("Timestamp"),
+                F.col("url").alias("URL"),
+                _metadata().alias("Metadata"),
+                F.base64(F.col("bytes")).alias("Screenshot"),
+            )
+        ).alias("payload"),
+    )
