@@ -121,3 +121,31 @@ def extract_links_batch(
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_links_udf(page_urls: pd.Series, htmls: pd.Series) -> pd.Series:
     return extract_links_batch(page_urls, htmls)
+
+
+def decode_data_uris(df, url_col: str = "url"):
+    """Decode ``data:`` URIs into (mime, is_base64, payload) columns.
+
+    Reference: ``save_data`` (``darc/proxy/data.py:33-56``) — decodes the
+    URI and writes the payload under ``misc/data/``. Here the decode is
+    pure SQL (``regexp_extract`` + ``unbase64``/``url_decode`` never leave
+    the JVM); rows that are not data URIs get nulls.
+    """
+    c = F.col(url_col)
+    head = F.regexp_extract(c, r"^data:([^,]*),", 1)
+    mime = F.when(
+        head.endswith(";base64"),
+        F.regexp_replace(head, r";base64$", ""),
+    ).otherwise(head)
+    mime = F.when(mime == "", F.lit("text/plain")).otherwise(mime)
+    body = F.regexp_extract(c, r"^data:[^,]*,(.*)$", 1)
+    is_b64 = head.endswith(";base64")
+    payload = F.when(is_b64, F.try_to_binary(body, F.lit("base64"))).otherwise(
+        F.encode(F.url_decode(body), "utf-8")
+    )
+    is_data = c.startswith("data:") & c.contains(",")
+    return (
+        df.withColumn("data_mime", F.when(is_data, mime))
+        .withColumn("data_is_base64", F.when(is_data, is_b64))
+        .withColumn("data_payload", F.when(is_data, payload))
+    )

@@ -92,6 +92,7 @@ class CrawlConfig:
     use_seen_filter: bool = True
     compact_every: int = 0  # 0 = never
     extract_from_failed: bool = True
+    check_ng: bool = False  # HEAD content-type precheck of extracted links
 
 
 class Crawler:
@@ -353,6 +354,33 @@ class Crawler:
                 self.cfg.host_fallback,
             )
         )
+        if self.cfg.check_ng:
+            # F6: concurrent HEAD precheck of extracted links — drop MIME
+            # mismatches before they ever enter the queue
+            # (darc/parse.py:186-241, CHECK_NG)
+            web = self.web
+
+            def head_check(pdf_iter):
+                for pdf in pdf_iter:
+                    heads = web.heads_batch(pdf["url"])
+                    out = pdf.copy()
+                    out["head_ct"] = (
+                        heads["content_type"].fillna("").str.lower().str.split(";").str[0].str.strip()
+                    )
+                    yield out
+
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in keep.schema.fields
+            ) + ", head_ct string"
+            keep = keep.mapInPandas(head_check, schema).filter(
+                ~match_mime_drop(
+                    F.col("head_ct"),
+                    list(self.cfg.mime_white),
+                    list(self.cfg.mime_black),
+                    self.cfg.mime_fallback,
+                )
+            ).drop("head_ct")
         return keep, special
 
     _LINK_SELECT = ["name", "url", "scheme", "proxy", "host", "hostname", "backref"]

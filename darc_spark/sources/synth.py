@@ -125,6 +125,41 @@ class SynthWeb:
         return 200, "\n".join(lines) + "\nnot-i2p.example=zz\n"
 
     # -- pages ---------------------------------------------------------------
+    def _meta(self, h: int) -> tuple[int, str, bool]:
+        """(status, content_type, empty_body) — shared by page() and head()."""
+        roll = h % 100
+        if roll < 78:
+            status = 200
+        elif roll < 88:
+            status = 404
+        elif roll < 94:
+            status = 500
+        else:
+            return 200, "text/html", True
+        ct_roll = (h >> 8) % 100
+        if ct_roll < 80:
+            content_type = "text/html"
+        elif ct_roll < 90:
+            content_type = "text/plain"
+        else:
+            content_type = "image/png"
+        return status, content_type, False
+
+    def head(self, url: str) -> tuple[int, str]:
+        """HEAD-equivalent: (status, content_type) with no body work."""
+        parsed = self._parse(url)
+        if parsed is None:
+            return 404, "text/plain"
+        host, kind, pid = parsed
+        if kind == "hosts":
+            return 200, "text/plain"
+        status, ct, _ = self._meta(self._h(host, kind, pid, "meta"))
+        return status, ct
+
+    def heads_batch(self, urls: pd.Series) -> pd.DataFrame:
+        rows = [dict(zip(("status_code", "content_type"), self.head(u))) for u in urls.astype(str)]
+        return pd.DataFrame(rows, index=urls.index)
+
     def _child_urls(self, host: str, kind: str, pid: int) -> list[str]:
         out = []
         for j in range(self.branching):
@@ -164,23 +199,9 @@ class SynthWeb:
             return {**null, "status_code": 200, "content_type": "text/plain", "html": text}
 
         h = self._h(host, kind, pid, "meta")
-        roll = h % 100
-        if roll < 78:
-            status = 200
-        elif roll < 88:
-            status = 404
-        elif roll < 94:
-            status = 500
-        else:
+        status, content_type, empty = self._meta(h)
+        if empty:
             return {**null, "status_code": 200, "content_type": "text/html", "html": ""}
-
-        ct_roll = (h >> 8) % 100
-        if ct_roll < 80:
-            content_type = "text/html"
-        elif ct_roll < 90:
-            content_type = "text/plain"
-        else:
-            content_type = "image/png"
 
         if content_type == "image/png":
             return {**null, "status_code": status, "content_type": "image/png", "html": ""}
