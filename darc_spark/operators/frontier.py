@@ -317,6 +317,7 @@ class Frontier:
     def _staged_tail(self, table: str) -> DataFrame:
         import os
 
+        self.store.ensure_written(table)
         rel = self.store._staged_appends[table][-1]
         return self.store.spark.read.schema(self.store.schemas[table]).parquet(
             os.path.join(self.store.root, rel)

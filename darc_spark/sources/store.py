@@ -58,6 +58,8 @@ class SnapshotStore:
         # staged (uncommitted) changes: table -> list of segment relpaths
         self._staged_appends: dict[str, list[str]] = {}
         self._staged_replace: dict[str, list[str]] = {}
+        # deferred (not yet materialized) appends: rel -> lazy DataFrame
+        self._pending_writes: dict[str, DataFrame] = {}
         self._seg_counter = 0
 
     # -- manifest handling -------------------------------------------------
@@ -113,9 +115,47 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
-    def append(self, table: str, df: DataFrame) -> None:
-        rel = self._new_segment(table, df)
+    def append(self, table: str, df: DataFrame, defer: bool = True) -> None:
+        """Stage an append. By default the write is DEFERRED: independent
+        segment writes accumulate and materialize concurrently at
+        ``commit()`` (Spark schedules jobs from multiple driver threads in
+        parallel) — one round's many small table appends overlap instead
+        of running serially. ``read_all``/``ensure_written`` force any
+        deferred write their reader depends on.
+        """
+        if defer:
+            self._seg_counter += 1
+            rel = os.path.join(
+                table, f"seg-{self.version + 1:06d}-{self._seg_counter:04d}"
+            )
+            self._pending_writes[rel] = df
+        else:
+            rel = self._new_segment(table, df)
         self._staged_appends.setdefault(table, []).append(rel)
+
+    def ensure_written(self, table: str | None = None, parallel: bool = True) -> None:
+        """Materialize deferred appends (all, or one table's)."""
+        todo = [
+            (rel, df)
+            for rel, df in self._pending_writes.items()
+            if table is None or rel.split(os.sep)[0] == table
+        ]
+        if not todo:
+            return
+        if parallel and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def write(item):
+                rel, df = item
+                df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+
+            with ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+                list(ex.map(write, todo))  # propagate exceptions
+        else:
+            for rel, df in todo:
+                df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        for rel, _ in todo:
+            del self._pending_writes[rel]
 
     def replace(self, table: str, df: DataFrame) -> None:
         """Stage a compaction: ``df`` becomes the table's only segment."""
@@ -124,6 +164,7 @@ class SnapshotStore:
 
     def commit(self, meta: dict[str, Any] | None = None) -> int:
         """Atomically publish all staged changes as one new snapshot."""
+        self.ensure_written()  # concurrent materialization of deferred appends
         new_tables = {t: list(segs) for t, segs in self._tables.items()}
         for table, segs in self._staged_replace.items():
             new_tables[table] = list(segs)
@@ -146,6 +187,7 @@ class SnapshotStore:
 
     def rollback(self) -> None:
         """Discard staged (uncommitted) segments."""
+        self._pending_writes.clear()
         for segs in list(self._staged_appends.values()) + list(
             self._staged_replace.values()
         ):
@@ -160,6 +202,7 @@ class SnapshotStore:
         Needed where within-round read-your-writes matters, e.g. the
         URL-seen NX check across multiple enqueues in one round.
         """
+        self.ensure_written(table)
         committed = self.read(table)
         staged = self._staged_appends.get(table, [])
         if self._staged_replace.get(table):

@@ -67,10 +67,13 @@ def test_kill_midwrite_resumes_previous(spark, store):
     """Orphan (uncommitted) segments are invisible after 'crash'."""
     store.append("t", _df(spark, [("a", 1)]))
     store.commit({"round": 1})
-    store.append("t", _df(spark, [("junk", 9)]))  # crash before commit
+    # deferred append, crash before commit → never materialized, no orphan
+    store.append("t", _df(spark, [("junk", 9)]))
+    # eager append, crash before commit → orphan dir exists on disk
+    store.append("t", _df(spark, [("junk2", 8)]), defer=False)
     resumed = SnapshotStore(store.spark, store.root, schemas={"t": SCHEMA})
     assert [(r.k, r.v) for r in resumed.read("t").collect()] == [("a", 1)]
-    assert resumed.gc() == 1  # the orphan got cleaned
+    assert resumed.gc() == 1  # only the eager orphan needed cleaning
 
 
 def test_torn_manifest_ignored(spark, store):
