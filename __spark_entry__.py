@@ -22,7 +22,42 @@ TABLES = (
 ).split()
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the darc_spark package to executor Python workers.
+
+    The driver harness creates its own SparkSession, so the package is
+    importable on the driver (sys.path) but NOT in worker processes.
+    Zipping the package and ``addPyFile``-ing it is exactly the
+    spark-submit --py-files deployment path, done lazily. Idempotent.
+    """
+    import os
+    import zipfile
+
+    import darc_spark
+
+    if getattr(spark, "_darc_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(darc_spark.__file__))
+    zip_path = os.path.join(
+        "/tmp", f"darc_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "darc_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._darc_spark_shipped = True
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    _ensure_shipped(spark)
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
 
 
@@ -493,6 +528,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from darc_spark.functions.canon import with_parsed_link
     from darc_spark.operators.politeness import per_host_top_k
 
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     urls = _url_corpus(spark, sf_dir)
     parsed = with_parsed_link(urls).withColumn(
@@ -501,6 +537,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return per_host_top_k(parsed, 3, salt_shards=4).select(
         "hostname", "proxy", "url", "name"
     )
+
+
+def _with_shipping(
+    fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -532,6 +580,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "submit_payloads": q_submit_payloads,
     }
+
+
+_RAW_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    return {name: _with_shipping(fn) for name, fn in _RAW_QUERIES().items()}
 
 
 def _duck_minhash_sig(bands: int = 4) -> str:
