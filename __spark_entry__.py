@@ -474,20 +474,13 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: decode + feature-extract image payloads (mapInPandas)."""
-    from darc_spark.functions.images import encode_lossy, encode_png
+    """Multimodal: the input_hint image+caption table (exact schema),
+    synthesized distributed, then decode + feature-extract (mapInPandas)."""
     from darc_spark.functions.multimodal import image_features
-    import numpy as np
+    from darc_spark.sources.synth import SynthWeb
 
-    rows = []
-    for i in range(64):
-        rng = np.random.default_rng(1000 + i)
-        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
-        fmt = "qpng" if i % 2 else "png"
-        data = encode_lossy(arr) if i % 2 else encode_png(arr)
-        rows.append((f"img{i:04d}", bytearray(data), fmt))
-    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
-    return image_features(df)
+    imgs = SynthWeb(seed=42).image_table(spark, n=256)
+    return image_features(imgs)
 
 
 def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:

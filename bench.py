@@ -176,6 +176,10 @@ def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
         queries = entry_mod.queries()
         per_query: dict[str, float] = {}
         if not crawl_only:
+            # warm up JVM codegen + Arrow + python workers so the first
+            # timed query doesn't absorb session start-up costs
+            spark.range(1000).selectExpr("sum(id)").collect()
+            queries["link_classify"](spark, sf_dir).count()
             for name in HEADLINE:
                 t0 = time.perf_counter()
                 df = queries[name](spark, sf_dir)

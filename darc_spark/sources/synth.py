@@ -278,6 +278,50 @@ class SynthWeb:
         side = 16 + int(ih % 3) * 8
         return rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
 
+    def image_table(self, spark, n: int = 1000, partitions: int | None = None):
+        """The BASELINE.json input table, exactly the input_hint shape:
+        ``(image_id string, bytes binary, w int, h int, fmt string,
+        caption string, phash long)`` — synthesized deterministically,
+        distributed (no driver-side image generation).
+        """
+        from pyspark.sql import functions as F
+
+        from darc_spark.functions.images import encode_lossy, encode_png, phash64
+        from darc_spark.schema import IMAGE
+
+        seed = self.seed
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    ih = self._h("imgtable", i)
+                    rng = np.random.default_rng(ih)
+                    side = 16 + (ih % 3) * 8
+                    arr = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+                    lossy = (ih >> 8) % 2 == 0
+                    words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
+                    rows.append(
+                        {
+                            "image_id": f"img{i:08d}",
+                            "bytes": encode_lossy(arr) if lossy else encode_png(arr),
+                            "w": side,
+                            "h": side,
+                            "fmt": "qpng" if lossy else "png",
+                            "caption": " ".join(words),
+                            "phash": phash64(arr),
+                        }
+                    )
+                out = pd.DataFrame(rows, columns=[f.name for f in IMAGE.fields])
+                out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+                yield out
+
+        base = spark.range(n)
+        if partitions:
+            base = base.repartition(partitions)
+        return base.mapInPandas(gen, IMAGE)
+
     def pages_batch(self, urls: pd.Series) -> pd.DataFrame:
         rows = [self.page(u) for u in urls.astype(str)]
         df = pd.DataFrame(rows, index=urls.index)
