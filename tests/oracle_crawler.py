@@ -206,7 +206,12 @@ class SimCrawler:
                 out[h] = int(math.ceil(d / self.cfg.seconds_per_round))
         return out
 
-    def _new_host_gate(self, batch: list[tuple[str, Rec]], r: int) -> None:
+    def _new_host_gate(
+        self,
+        batch: list[tuple[str, Rec]],
+        r: int,
+        route_buffer: list,
+    ) -> None:
         hosts = {}
         for _, rec in batch:
             hosts.setdefault(rec.hostname, rec.proxy)
@@ -229,21 +234,13 @@ class SimCrawler:
                         if st != 200:
                             continue
                         pages, children = parse_sitemap_one(sm, xml)
-                        self._route(pages, r)
+                        route_buffer.append((pages, None))
                         nxt.extend(children)
                     queue, depth = nxt, depth + 1
             if proxy == "i2p":
                 status, text = self.web.hosts_txt(h)
                 if status == 200 and text:
-                    found = []
-                    for line in text.splitlines():
-                        line = line.strip()
-                        if not line or line.startswith("#"):
-                            continue
-                        host = line.split("=", 1)[0]
-                        if re.fullmatch(r".*?\.i2p", host):
-                            found.append(f"http://{host}")
-                    self._route(found, r)
+                    route_buffer.append((self._read_i2p_hosts(text), None))
 
     # -- the round --------------------------------------------------------------
     def seed(self, urls: list[str]) -> None:
@@ -251,7 +248,23 @@ class SimCrawler:
             p = oracle_parse(u)
             self.fr_req.enqueue_nx(p["name"], self._rec(p, self.round))
 
+    def _read_i2p_hosts(self, text: str) -> list[str]:
+        found = []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            host = line.split("=", 1)[0]
+            if re.fullmatch(r".*?\.i2p", host):
+                found.append(f"http://{host}")
+        return found
+
     def run_round(self) -> dict[str, float]:
+        """Mirrors the ENGINE's batch phase order exactly: claim-filter
+        drops → new-host gate → fetch all → no-return/mime drops →
+        buffered routing flushed as ONE enqueue batch → done marks →
+        failure requeues/drops LAST. (Per-link interleaving would make
+        same-round drop/re-add order-dependent — the engine is batch.)"""
         r = self.round
         cfg = self.cfg
         m: dict[str, float] = {}
@@ -271,12 +284,17 @@ class SimCrawler:
                 self.fr_req.drop(name)
             else:
                 keep.append((name, rec))
-        self._new_host_gate(keep, r)
+        route_buffer: list[tuple[list[str], dict | None]] = []
+        self._new_host_gate(keep, r, route_buffer)
         allowed = [
             (n, rec)
             for n, rec in keep
             if not cfg.robots_enabled or self._robots_allowed(rec, rec.url)
         ]
+        mime_drops: list[str] = []
+        generic_done: list[str] = []
+        ok_done: list[tuple[str, Rec]] = []
+        failures: list[str] = []
         for name, rec in allowed:
             page = self.web.page(rec.url)
             status = page["status_code"]
@@ -284,38 +302,38 @@ class SimCrawler:
             html = page["html"] or ""
             is_html = ct in _HTML_TYPES
             self.fetches.append((r, rec.hostname, rec.url, status))
-            parent = {"name": name, "url": rec.url}
             if not is_html:
                 if self._match_mime_drop(ct):
-                    self.fr_req.drop(name)
+                    mime_drops.append(name)
                     continue
                 if rec.proxy == "i2p" and ct in ("text/plain", "text/text") and html:
-                    found = []
-                    for line in html.splitlines():
-                        line = line.strip()
-                        if not line or line.startswith("#"):
-                            continue
-                        host = line.split("=", 1)[0]
-                        if re.fullmatch(r".*?\.i2p", host):
-                            found.append(f"http://{host}")
-                    self._route(found, r)
-                self.fr_req.mark_done(name, r + cfg.revisit)
+                    route_buffer.append((self._read_i2p_hosts(html), None))
+                generic_done.append(name)
                 continue
             if not html:
-                self._retry_or_drop(self.fr_req, name, r)
+                failures.append(name)
                 continue
             links = extract_hrefs_one(rec.url, html)
-            links.extend(
-                extract_text_urls_one(re.sub(r"<[^>]*>", " ", html))
-            )
-            self._route(links, r, parent=parent)
+            links.extend(extract_text_urls_one(re.sub(r"<[^>]*>", " ", html)))
+            route_buffer.append((links, {"name": name, "url": rec.url}))
             if status < 400:
-                self.fr_req.mark_done(name, r + cfg.revisit)
-                if cfg.selenium_enabled:
-                    p = oracle_parse(rec.url)
-                    self.fr_sel.enqueue_nx(p["name"], self._rec(p, r))
+                ok_done.append((name, rec))
             else:
-                self._retry_or_drop(self.fr_req, name, r)
+                failures.append(name)
+        # engine phase order
+        for name in mime_drops:
+            self.fr_req.drop(name)
+        for name in generic_done:
+            self.fr_req.mark_done(name, r + cfg.revisit)
+        for urls, parent in route_buffer:
+            self._route(urls, r, parent=parent)
+        for name, rec in ok_done:
+            self.fr_req.mark_done(name, r + cfg.revisit)
+            if cfg.selenium_enabled:
+                p = oracle_parse(rec.url)
+                self.fr_sel.enqueue_nx(p["name"], self._rec(p, r))
+        for name in failures:
+            self._retry_or_drop(self.fr_req, name, r)
 
         # ---- selenium stage
         if cfg.selenium_enabled:
@@ -323,6 +341,9 @@ class SimCrawler:
                 r, cfg.per_host, cfg.lease, {}, {}, restrict=sel_snapshot
             )
             m["claimed_selenium"] = float(len(claimed_sel))
+            sel_routes: list[list[str]] = []
+            sel_done: list[str] = []
+            sel_failures: list[str] = []
             for name, rec in claimed_sel:
                 if self._match_proxy_drop(rec.proxy) or self._match_host_drop(rec.host):
                     self.fr_sel.drop(name)
@@ -335,10 +356,16 @@ class SimCrawler:
                 if is_html and html:
                     links = extract_hrefs_one(rec.url, html)
                     links.extend(extract_text_urls_one(re.sub(r"<[^>]*>", " ", html)))
-                    self._route(links, r)
-                    self.fr_sel.mark_done(name, r + cfg.revisit)
+                    sel_routes.append(links)
+                    sel_done.append(name)
                 else:
-                    self._retry_or_drop(self.fr_sel, name, r)
+                    sel_failures.append(name)
+            for links in sel_routes:
+                self._route(links, r)
+            for name in sel_done:
+                self.fr_sel.mark_done(name, r + cfg.revisit)
+            for name in sel_failures:
+                self._retry_or_drop(self.fr_sel, name, r)
 
         self.round = r + 1
         return m
