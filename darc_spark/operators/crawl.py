@@ -493,6 +493,8 @@ class Crawler:
             "fmt",
             "caption",
             "phash",
+            "fetch_partition",
+            "fetch_batch_ms",
         )
 
     def _requests_stage(self, r: int) -> dict[str, float]:

@@ -68,6 +68,10 @@ FETCH_RESULT = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        # per-partition lineage (north rule): which executor task slice
+        # produced this row, and the batch's fetch wall-time
+        T.StructField("fetch_partition", T.IntegerType(), True),
+        T.StructField("fetch_batch_ms", T.DoubleType(), True),
     ]
 )
 
@@ -90,9 +94,16 @@ def run_fetch(
     site_map = dict(SITE_MAP)  # captured → shipped to executors once
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            t0 = time.perf_counter()
             pages = fetch_fn(pdf["url"])
             for hostname in pdf["hostname"].unique():
                 hook = site_map.get(str(hostname).casefold())
@@ -130,6 +141,8 @@ def run_fetch(
             for c in ("w", "h"):
                 out[c] = pages[c].astype("Int32")
             out["phash"] = pages["phash"].astype("Int64")
+            out["fetch_partition"] = pid
+            out["fetch_batch_ms"] = (time.perf_counter() - t0) * 1000.0
             yield out
 
     # Hash-partition by (hostname, salt) with an EXPLICIT partition count:

@@ -125,6 +125,8 @@ FETCHES = T.StructType(
         T.StructField("fmt", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        T.StructField("fetch_partition", T.IntegerType(), True),
+        T.StructField("fetch_batch_ms", T.DoubleType(), True),
     ]
 )
 
