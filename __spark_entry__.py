@@ -311,6 +311,63 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + single agg (pushdown showcase)."""
+    (lineitem,) = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .withColumn(
+            "rev_e2",
+            F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5),
+        )
+        .agg(
+            F.sum("rev_e2").cast("long").alias("revenue_e2"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets coverage)."""
+    (events,) = _load(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("long").alias("sum_value_e2"),
+        )
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer bucket by price desc (W1 desc variant)."""
+    from pyspark.sql import Window
+
+    (orders,) = _load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bucket", (F.col("o_custkey") % 25).cast("long"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("bucket").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        ).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "bucket",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_e2"),
+            "rank",
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.dedup import exact_dedup
 
@@ -556,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "rollup_events": q_rollup_events,
+        "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -821,6 +881,32 @@ SELECT l_returnflag, l_linestatus,
        CAST(floor(CAST(sum(disc_e6) AS DOUBLE) / count(*)) AS BIGINT) AS avg_disc_e6,
        CAST(count(*) AS BIGINT) AS count_order
 FROM scaled GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "tpch_q6": """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "rollup_events": """
+SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events GROUP BY ROLLUP(event_type, (user_id % 10))
+""",
+        "topk_orders": """
+WITH ranked AS (
+  SELECT CAST(o_custkey % 25 AS BIGINT) AS bucket,
+         CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey % 25
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rank
+  FROM orders
+)
+SELECT bucket, o_orderkey, price_e2, rank FROM ranked WHERE rank <= 3
 """,
         "dedup_exact": """
 SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,

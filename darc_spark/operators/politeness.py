@@ -36,17 +36,45 @@ def per_host_top_k(
     k: int,
     host_col: str = "hostname",
     salt_shards: int = 8,
+    escalate_above: int | None = None,
+    max_shards: int = 256,
 ) -> DataFrame:
-    """Deterministic top-k rows per host under the claim order."""
+    """Deterministic top-k rows per host under the claim order.
+
+    ``escalate_above``: when set, hosts with more pending rows than this
+    threshold get their phase-1 shard count escalated proportionally
+    (capped at ``max_shards``) — the north rule's hot-host salt
+    escalation. Escalation only changes phase-1 task sizing; phase 2
+    re-ranks with the same total order, so the result is identical for
+    any shard counts (asserted by tests).
+    """
     order = claim_order_cols()
     if salt_shards > 1:
-        shard = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards))
+        if escalate_above is not None:
+            counts = df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+            shards_for = F.when(
+                F.col("_host_n") > escalate_above,
+                F.least(
+                    F.ceil(F.col("_host_n") / F.lit(escalate_above)).cast("int")
+                    * F.lit(salt_shards),
+                    F.lit(max_shards),
+                ),
+            ).otherwise(F.lit(salt_shards))
+            df = df.join(
+                F.broadcast(counts.withColumn("_shards", shards_for)).drop("_host_n"),
+                host_col,
+            )
+            shard = F.pmod(F.xxhash64(F.col("url")), F.col("_shards"))
+        else:
+            shard = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards))
         w1 = Window.partitionBy(F.col(host_col), shard).orderBy(*order)
         df = (
             df.withColumn("_rn1", F.row_number().over(w1))
             .filter(F.col("_rn1") <= k)
             .drop("_rn1")
         )
+        if escalate_above is not None:
+            df = df.drop("_shards")
     w2 = Window.partitionBy(F.col(host_col)).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w2))
