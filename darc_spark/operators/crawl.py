@@ -707,8 +707,14 @@ class Crawler:
             self.fr_sel.compact(r)
         self.store.commit({"round": r, "metrics": metrics})
         self.round = r + 1
+        # between-round hooks (darc/process.py:45-75); WorkerBreak requests
+        # a graceful stop AFTER this committed round — metrics are kept
+        self.break_requested = False
         for hook in HOOKS:
-            hook(r, self)
+            try:
+                hook(r, self)
+            except WorkerBreak:
+                self.break_requested = True
         return metrics
 
     def metrics_table(self) -> DataFrame:
@@ -732,10 +738,9 @@ class Crawler:
     def run(self, rounds: int) -> list[dict[str, float]]:
         out = []
         for _ in range(rounds):
-            try:
-                out.append(self.run_round())
-            except WorkerBreak:
-                break
+            out.append(self.run_round())
+            if getattr(self, "break_requested", False):
+                break  # graceful hook-requested stop (WorkerBreak)
             if out[-1].get("claimed_requests", 0) == 0 and out[-1].get(
                 "claimed_selenium", 0
             ) == 0:

@@ -105,11 +105,19 @@ def run_fetch(
                 continue
             t0 = time.perf_counter()
             pages = fetch_fn(pdf["url"])
+            if "no_return" not in pages.columns:
+                pages["no_return"] = False
             for hostname in pdf["hostname"].unique():
                 hook = site_map.get(str(hostname).casefold())
                 if hook is not None:
                     mask = (pdf["hostname"] == hostname).to_numpy()
-                    pages.loc[mask, :] = hook(pdf[mask], pages[mask])
+                    res = hook(pdf[mask], pages[mask])
+                    # column-wise positional assignment: hooks may add
+                    # columns (e.g. no_return) or reset the index
+                    for col in res.columns:
+                        if col not in pages.columns:
+                            pages[col] = None
+                        pages.loc[mask, col] = res[col].to_numpy()
             out = pdf[_PASS_THROUGH].reset_index(drop=True)
             pages = pages.reset_index(drop=True)
             ct = pages["content_type"].fillna("").str.lower().str.split(";").str[0].str.strip()

@@ -1,0 +1,91 @@
+"""Plugin surface (SURVEY §2.9): site hooks, proxy registry, round hooks."""
+
+from __future__ import annotations
+
+import pytest
+
+from darc_spark import register_hooks, register_proxy, register_sites
+from darc_spark.operators.crawl import Crawler, CrawlConfig
+from darc_spark.registry import HOOKS, PROXY_MAP, SITE_MAP, WorkerBreak
+from darc_spark.sources.synth import SynthWeb
+
+
+@pytest.fixture(autouse=True)
+def clean_registry():
+    saved_sites, saved_hooks = dict(SITE_MAP), list(HOOKS)
+    yield
+    SITE_MAP.clear()
+    SITE_MAP.update(saved_sites)
+    HOOKS.clear()
+    HOOKS.extend(saved_hooks)
+
+
+def test_site_hook_no_return_drops_permanently(spark, tmp_path):
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+
+    # defined as a closure so cloudpickle ships it by value (a handler in
+    # an installed module would be pickled by reference instead)
+    def no_return_site(batch_pdf, pages_pdf):
+        out = pages_pdf.copy()
+        out["no_return"] = True
+        return out
+
+    register_sites(no_return_site, "alpha.example")
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "s"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=False),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(3)
+    # every fetched alpha.example page got dropped (tombstoned from seen)
+    seen_hosts = {
+        r["hostname"] for r in crawler.fr_req.seen().select("hostname").collect()
+    }
+    fetched_alpha = (
+        crawler.store.read("fetches")
+        .filter("hostname = 'alpha.example'")
+        .count()
+    )
+    assert fetched_alpha > 0
+    dropped = {
+        r["name"]
+        for r in crawler.store.read("dropped_requests")
+        .filter("reason = 'no-return'")
+        .select("name")
+        .collect()
+    }
+    assert len(dropped) == fetched_alpha
+    # dropped names are out of the seen set
+    seen_names = {r["name"] for r in crawler.fr_req.seen().select("name").collect()}
+    assert not (dropped & seen_names)
+
+
+def test_worker_break_hook_stops_loop(spark, tmp_path):
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    calls = []
+
+    def stop_after_two(round_index, crawler):
+        calls.append(round_index)
+        if round_index >= 1:
+            raise WorkerBreak
+
+    register_hooks(stop_after_two)
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "s"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=False),
+    )
+    crawler.seed(web.seeds())
+    metrics = crawler.run(10)
+    assert len(metrics) == 2  # stopped by the hook, not by the round budget
+    assert calls == [0, 1]
+    # the interrupted round still committed atomically
+    assert crawler.store.latest_meta()["round"] == 1
+
+
+def test_register_proxy():
+    register_proxy("tor2web", {"gateway": "onion.sh"})
+    assert PROXY_MAP["tor2web"] == {"gateway": "onion.sh"}
