@@ -6,7 +6,7 @@ from __future__ import annotations
 from darc_spark.operators.crawl import Crawler, CrawlConfig
 from darc_spark.sources.synth import SynthWeb
 
-WEB = SynthWeb(seed=21, pages_per_host=40, branching=3)
+WEB = SynthWeb(seed=21, pages_per_host=32, branching=3)
 BASE = dict(per_host=4, lease=2, max_retries=1, n_filter_buckets=4)
 ROUNDS = 4
 

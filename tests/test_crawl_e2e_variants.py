@@ -8,7 +8,7 @@ from darc_spark.operators.crawl import Crawler, CrawlConfig
 from darc_spark.sources.synth import SynthWeb
 from tests.oracle_crawler import SimCrawler
 
-WEB = SynthWeb(seed=13, pages_per_host=40, branching=3)
+WEB = SynthWeb(seed=13, pages_per_host=30, branching=3)
 
 VARIANTS = {
     "no_robots_no_selenium": CrawlConfig(
@@ -44,10 +44,10 @@ def test_variant_equivalence(spark, tmp_path, name):
     cfg = VARIANTS[name]
     crawler = Crawler(spark, str(tmp_path / name), WEB, cfg)
     crawler.seed(WEB.seeds())
-    crawler.run(3)
+    crawler.run(2)
     sim = SimCrawler(WEB, cfg)
     sim.seed(WEB.seeds())
-    sim.run(3)
+    sim.run(2)
 
     engine_fetches = {
         (r["fetch_round"], r["hostname"], r["url"], r["status_code"])

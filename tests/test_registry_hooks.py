@@ -38,7 +38,7 @@ def test_site_hook_no_return_drops_permanently(spark, tmp_path):
         CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=False),
     )
     crawler.seed(web.seeds())
-    crawler.run(3)
+    crawler.run(2)
     # every fetched alpha.example page got dropped (tombstoned from seen)
     seen_hosts = {
         r["hostname"] for r in crawler.fr_req.seen().select("hostname").collect()
