@@ -394,7 +394,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.dedup import simhash_dup_groups
 
     (docs,) = _load(spark, sf_dir, "documents")
-    return simhash_dup_groups(docs).select(
+    # bits=16 explicitly: the oracle SQL enumerates per-bit conditional
+    # sums, which is only tractable at 16; the engine default is 64
+    return simhash_dup_groups(docs, bits=16).select(
         F.col("simhash").cast("long").alias("simhash"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
@@ -518,6 +520,7 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from darc_spark.functions.robots import robots_rules_rows
+    from darc_spark.schema import ROBOTS_RULES
 
     corpus = [
         ("h1", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 2\n", 200),
@@ -527,7 +530,9 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pdf = pd.DataFrame(corpus, columns=["hostname", "text", "status"])
     rules = robots_rules_rows(pdf["hostname"], pdf["text"], pdf["status"])
-    return spark.createDataFrame(rules)
+    # declared schema: all-None crawl_delay/request_rate columns cannot be
+    # inferred (CANNOT_DETERMINE_TYPE)
+    return spark.createDataFrame(rules, schema=ROBOTS_RULES)
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +954,20 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+""",
+        # hand-derived from the robots.txt protocol for the fixed corpus in
+        # q_robots_rules (independent expected output; ref contract
+        # darc/_robotparser.py:87-158): h1 default entry with 2 rules +
+        # crawl-delay, h2 bot entry + empty-Disallow default, h3 403 ⇒
+        # disallow-all row, h4 404 ⇒ allow-all (no rows)
+        "robots_rules": """
+SELECT * FROM (VALUES
+  ('h1', '*',   0, '/private/',   false, 2,                  CAST(NULL AS DOUBLE)),
+  ('h1', '*',   1, '/private/ok', true,  2,                  CAST(NULL AS DOUBLE)),
+  ('h2', 'bot', 0, '/b/',         false, CAST(NULL AS INT),  CAST(NULL AS DOUBLE)),
+  ('h2', '*',   0, '',            true,  CAST(NULL AS INT),  CAST(NULL AS DOUBLE)),
+  ('h3', '*',   0, '*',           false, CAST(NULL AS INT),  CAST(NULL AS DOUBLE))
+) AS t(hostname, agent, rule_index, path_prefix, allow, crawl_delay, request_rate)
 """,
         "lang_id": q_lang,
         "quality_score": q_quality,

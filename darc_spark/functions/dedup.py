@@ -105,9 +105,16 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """SimHash over token multiset: bit b set iff Σ±1 over tokens ≥ 0."""
+    """SimHash over token multiset: bit b set iff Σ±1 over tokens ≥ 0.
+
+    Default width is 64: a 16-bit signature has only 65,536 buckets, so
+    at 10^10 docs every bucket collides and "same signature" stops
+    meaning "near-duplicate". The signature is assembled with
+    shiftleft+bitwiseOR (not a sum of python-int literals) so bit 63 is
+    exact on the signed long.
+    """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = toks.withColumn("th", h64(F.col("tok")))
     sums = hashed.groupBy(id_col).agg(
@@ -121,13 +128,15 @@ def simhash(
     )
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+        term = F.when(
+            F.col(f"s{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_dup_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """Docs sharing an identical SimHash signature (near-dup buckets)."""
     return (

@@ -21,11 +21,14 @@ from pyspark.sql import functions as F
 
 
 def _metadata() -> F.Column:
+    # base = <proxy>/<scheme>/<hostname> path (darc/link.py:393); the
+    # fetches table has no scheme column, so derive it from the URL
+    scheme = F.split(F.col("url"), ":").getItem(0)
     return F.struct(
         F.col("url").alias("url"),
         F.col("proxy").alias("proxy"),
         F.col("hostname").alias("host"),
-        F.col("name").alias("base"),
+        F.concat_ws("/", F.col("proxy"), scheme, F.col("hostname")).alias("base"),
         F.col("name").alias("name"),
     )
 

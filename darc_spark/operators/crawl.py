@@ -74,6 +74,10 @@ class CrawlConfig:
     revisit: int = 1 << 40  # rounds before a fetched page is re-fetched
     max_retries: int = 3  # engine termination guard (darc retries forever)
     salt_shards: int = 8
+    # hot-host salt escalation: hosts with more pending rows than this get
+    # proportionally more phase-1 shards (north rule skew handling);
+    # result-identical for any threshold, so on by default
+    escalate_above: int | None = 1 << 16
     robots_enabled: bool = True  # FORCE=0 (darc/const.py)
     user_agent: str = "darc-spark"
     seconds_per_round: int = 1  # maps robots Crawl-delay seconds → rounds
@@ -506,6 +510,7 @@ class Crawler:
             salt_shards=cfg.salt_shards,
             robots_delays=self._robots_delays() if cfg.robots_enabled else None,
             hostname_state=self._hostname_state(),
+            escalate_above=cfg.escalate_above,
         )
         m = {"claimed_requests": float(claimed.count())}
         if m["claimed_requests"] == 0:
@@ -639,7 +644,11 @@ class Crawler:
     def _selenium_stage(self, r: int) -> dict[str, float]:
         cfg = self.cfg
         claimed = self.fr_sel.claim(
-            r, per_host=cfg.per_host, lease=cfg.lease, salt_shards=cfg.salt_shards
+            r,
+            per_host=cfg.per_host,
+            lease=cfg.lease,
+            salt_shards=cfg.salt_shards,
+            escalate_above=cfg.escalate_above,
         )
         m = {"claimed_selenium": float(claimed.count())}
         if m["claimed_selenium"] == 0:
@@ -650,8 +659,15 @@ class Crawler:
         )
         st = self._raw_stats(raw, cfg)
         self.store.append("fetches_selenium", self._fetches_rows(raw, r))
+        # LinkNoReturn from site hooks → permanent drop BEFORE extraction
+        # (reference loader drops on LinkNoReturn, darc/crawl.py:303-309 —
+        # mirrors the requests stage; no_return pages neither extract nor
+        # requeue)
+        if st["n_noreturn"]:
+            self.fr_sel.drop(raw.filter(F.col("no_return")), r, reason="no-return")
+        live = raw.filter(~F.col("no_return"))
         # rendered-page extraction feeds the REQUESTS queue (darc/crawl.py:349)
-        solid = raw.filter(F.col("is_html") & ~F.col("empty_body"))
+        solid = live.filter(F.col("is_html") & ~F.col("empty_body"))
         exploded = solid.select(
             F.col("url").alias("parent_url"),
             F.explode_outer("links").alias("child_url"),
@@ -665,10 +681,10 @@ class Crawler:
         if n_rendered:
             self.fr_sel.mark_done(solid, r, revisit_after=r + cfg.revisit)
         # empty render → requeue (SE_EMPTY sentinel, darc/crawl.py:327-330)
-        failed = raw.filter(~(F.col("is_html") & ~F.col("empty_body")))
+        failed = live.filter(~(F.col("is_html") & ~F.col("empty_body")))
         self._retry_or_drop(
             self.fr_sel, failed, r, reason="render-failed",
-            n_failures=st["n"] - n_rendered,
+            n_failures=st["n"] - st["n_noreturn"] - n_rendered,
         )
         m["rendered"] = float(n_rendered)
         return m
@@ -708,8 +724,10 @@ class Crawler:
         self.store.commit({"round": r, "metrics": metrics})
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests
-        # a graceful stop AFTER this committed round — metrics are kept
-        self.break_requested = False
+        # a graceful stop AFTER this committed round — metrics are kept.
+        # Preserve a break already requested mid-round by a registered
+        # signal handler (registry.graceful_stop_handler).
+        self.break_requested = getattr(self, "break_requested", False)
         for hook in HOOKS:
             try:
                 hook(r, self)
@@ -737,6 +755,7 @@ class Crawler:
 
     def run(self, rounds: int) -> list[dict[str, float]]:
         out = []
+        self.break_requested = False  # a previous run's break is consumed
         for _ in range(rounds):
             out.append(self.run_round())
             if getattr(self, "break_requested", False):

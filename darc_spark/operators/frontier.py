@@ -355,8 +355,15 @@ class Frontier:
             .drop("_rn")
         )
         if not ignore_done:
+            # LATEST done event per name wins: each fetch pushes the
+            # revisit deadline forward (reference TIME_CACHE re-score,
+            # darc/db.py:970-972). min() would let the first deadline win
+            # forever — a page re-fetched once would become claimable
+            # every round after its first revisit cycle.
             done = self.store.read(self.t_done).groupBy("name").agg(
-                F.min("revisit_after").alias("revisit_after")
+                F.max_by(
+                    "revisit_after", F.struct(F.col("round"), F.col("revisit_after"))
+                ).alias("revisit_after")
             )
             latest = latest.join(done, "name", "left").filter(
                 F.col("revisit_after").isNull()
@@ -387,18 +394,23 @@ class Frontier:
         salt_shards: int = 8,
         robots_delays: DataFrame | None = None,
         hostname_state: DataFrame | None = None,
+        escalate_above: int | None = None,
     ) -> DataFrame:
         """Claim a politeness-bounded batch and lease it (darc/db.py:944-977).
 
         Returns the claimed batch as re-read from its committed-staging
         segment, so downstream stages see exactly what was leased.
+        ``escalate_above`` forwards the hot-host salt escalation threshold
+        to the politeness window (result-identical; bounds phase-1 tasks).
         """
         p = self.pending(current_round)
         if robots_delays is not None and hostname_state is not None:
             p = politeness.crawl_delay_gate(
                 p, hostname_state, robots_delays, current_round
             )
-        batch = politeness.per_host_top_k(p, per_host, salt_shards=salt_shards)
+        batch = politeness.per_host_top_k(
+            p, per_host, salt_shards=salt_shards, escalate_above=escalate_above
+        )
         rows = batch.withColumn(
             "claim_round", F.lit(current_round).cast("long")
         ).withColumn("lease_until", F.lit(current_round + lease).cast("long"))

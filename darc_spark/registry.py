@@ -12,10 +12,19 @@ Reference surface (``darc/__init__.py:47-55``):
 * ``register_hooks(fn)`` (``darc/process.py:45-75``) — between-round
   driver callbacks; a hook may raise :class:`WorkerBreak` to stop the loop
   (reference: ``darc/error.py:69``).
+* ``register_signal(signum, handler)`` (``darc/signal.py:35-63``) —
+  driver-side OS-signal handlers. Signals only ever reach the driver
+  process (executor tasks are idempotent and replayed), so this is a
+  thin registry over :func:`signal.signal` dispatching to every handler
+  registered for that signum. :func:`graceful_stop_handler` is the
+  SIGTERM-style default: it requests a stop AFTER the current committed
+  round (the atomic-commit resume makes anything harsher unnecessary).
 """
 
 from __future__ import annotations
 
+import signal as _signal
+from collections import defaultdict
 from typing import Any, Callable
 
 
@@ -64,3 +73,45 @@ def register_proxy(proxy: str, config: dict[str, Any] | None = None) -> None:
 def register_hooks(fn: Callable[..., Any]) -> None:
     """Register a between-round hook (cf. ``darc/process.py:45-75``)."""
     HOOKS.append(fn)
+
+
+# signum → registered handlers, dispatched in order by _generic_handler
+SIGNAL_REGISTRY: dict[int, list[Callable[..., Any]]] = defaultdict(list)
+
+
+def _generic_handler(signum: int, frame: Any) -> None:
+    """Fan one OS signal out to every registered handler
+    (cf. ``darc/signal.py:66-98``; the reference's cross-process forward
+    is unnecessary here — Spark work happens in driver-managed tasks)."""
+    for fn in SIGNAL_REGISTRY[int(signum)]:
+        fn(signum, frame)
+
+
+def register_signal(
+    signum: int, handler: Callable[..., Any], *, _index: int | None = None
+) -> Any:
+    """Register a driver-side signal handler (cf. ``darc/signal.py:35-63``).
+
+    Returns the previous :func:`signal.signal` disposition, like the
+    reference. Handlers receive ``(signum, frame)``.
+    """
+    sigint = int(getattr(signum, "value", signum))
+    if _index is None:
+        SIGNAL_REGISTRY[sigint].append(handler)
+    else:
+        SIGNAL_REGISTRY[sigint].insert(_index, handler)
+    return _signal.signal(sigint, _generic_handler)
+
+
+def graceful_stop_handler(crawler: Any) -> Callable[..., Any]:
+    """Handler factory: stop ``crawler`` after the current committed round.
+
+    The crawl loop checks ``break_requested`` between rounds
+    (``operators/crawl.py`` ``run()``), so a SIGTERM/SIGINT registered
+    with this handler never tears a round — the store resumes exactly.
+    """
+
+    def handler(signum: int, frame: Any) -> None:
+        crawler.break_requested = True
+
+    return handler

@@ -191,6 +191,7 @@ TABLES = {
     "hostname_state": HOSTNAME_STATE,
     "url_seen": URL_SEEN,
     "fetches": FETCHES,
+    "fetches_selenium": FETCHES,
     "edges": EDGES,
     "metrics": METRICS,
     "special_links": SPECIAL_LINKS,

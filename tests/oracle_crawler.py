@@ -71,8 +71,8 @@ class SimFrontier:
         self.seen.discard(name)
 
     def mark_done(self, name: str, revisit_after: int) -> None:
-        prev = self.done.get(name)
-        self.done[name] = min(prev, revisit_after) if prev is not None else revisit_after
+        # latest fetch pushes the deadline forward (darc/db.py:970-972)
+        self.done[name] = revisit_after
 
     def claim(
         self,

@@ -73,6 +73,27 @@ def test_done_revisit_after(spark, fr):
     assert fr.pending(5).count() == 1
 
 
+def test_done_latest_event_wins(spark, fr):
+    """A re-fetch pushes the revisit deadline FORWARD (darc/db.py:970-972).
+
+    Regression: min() over done events let the first deadline win
+    forever — after one revisit cycle the page became claimable every
+    round."""
+    fr.enqueue_nx(_links(spark, ["http://a.example/1"]), 0)
+    fr.store.commit()
+    batch = fr.claim(0, lease=1)
+    fr.mark_done(batch, 0, revisit_after=2)
+    fr.store.commit()
+    assert fr.pending(1).count() == 0
+    batch2 = fr.claim(2, lease=1)  # revisit fires at round 2
+    assert _urls(batch2) == ["http://a.example/1"]
+    fr.mark_done(batch2, 2, revisit_after=5)  # deadline moves to 5
+    fr.store.commit()
+    assert fr.pending(3).count() == 0  # NOT claimable at 3 (old bug: was)
+    assert fr.pending(4).count() == 0
+    assert fr.pending(5).count() == 1
+
+
 def test_per_host_politeness_budget(spark, fr):
     urls = [f"http://hot.example/{i}" for i in range(20)] + [
         "http://cold.example/1"

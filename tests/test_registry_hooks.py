@@ -86,6 +86,83 @@ def test_worker_break_hook_stops_loop(spark, tmp_path):
     assert crawler.store.latest_meta()["round"] == 1
 
 
+def test_site_hook_no_return_selenium_stage(spark, tmp_path):
+    """no_return pages in the RENDER queue are dropped before extraction
+    (loader drop_selenium on LinkNoReturn, darc/crawl.py:303-309)."""
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    calls = {"n": 0}
+
+    def no_return_alpha(batch_pdf, pages_pdf):
+        out = pages_pdf.copy()
+        out["no_return"] = True
+        return out
+
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "s"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=True),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(1)  # round 0: requests only; promotions land in fr_sel
+    # hook installed AFTER round 0 so promotion happened normally, but the
+    # selenium render of alpha pages in round 1 hits the hook
+    register_sites(no_return_alpha, "alpha.example")
+    crawler.run(1)
+    dropped = crawler.store.read("dropped_selenium").filter(
+        "reason = 'no-return'"
+    )
+    drop_names = {r["name"] for r in dropped.select("name").collect()}
+    rendered_alpha = {
+        r["name"]
+        for r in crawler.store.read("fetches_selenium")
+        .filter("hostname = 'alpha.example' AND fetch_round = 1")
+        .select("name")
+        .collect()
+    }
+    assert rendered_alpha, "test needs alpha pages in the round-1 render batch"
+    assert rendered_alpha <= drop_names
+    # dropped render pages are tombstoned out of the selenium seen set
+    sel_seen = {r["name"] for r in crawler.fr_sel.seen().select("name").collect()}
+    assert not (drop_names & sel_seen)
+
+
 def test_register_proxy():
     register_proxy("tor2web", {"gateway": "onion.sh"})
     assert PROXY_MAP["tor2web"] == {"gateway": "onion.sh"}
+
+
+def test_register_signal_graceful_stop(spark, tmp_path):
+    """SIGTERM-equivalent (SIGUSR1 for test safety) delivered mid-crawl
+    stops AFTER the committed round (darc/signal.py:35-63 parity)."""
+    import os
+    import signal
+
+    from darc_spark.registry import (
+        SIGNAL_REGISTRY,
+        graceful_stop_handler,
+        register_signal,
+    )
+
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "s"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=False),
+    )
+    prev = register_signal(signal.SIGUSR1, graceful_stop_handler(crawler))
+    # raise the signal from a round hook — i.e. mid-run, driver-side
+    def raise_mid_run(round_index, c):
+        if round_index == 1:
+            os.kill(os.getpid(), signal.SIGUSR1)
+
+    register_hooks(raise_mid_run)
+    try:
+        crawler.seed(web.seeds())
+        metrics = crawler.run(10)
+    finally:
+        signal.signal(signal.SIGUSR1, prev)
+        SIGNAL_REGISTRY.pop(int(signal.SIGUSR1), None)
+    assert len(metrics) == 2  # rounds 0 and 1; signal stopped the loop
+    assert crawler.store.latest_meta()["round"] == 1  # committed, not torn
