@@ -257,12 +257,16 @@ class Crawler:
                         if status == 200 and text
                         else []
                     ) or [f"http://{h}/sitemap.xml"]
-                    queue = list(sm_urls)
+                    # BFS over sitemapindex children, fetched by THEIR
+                    # url (darc/proxy/null.py:329 fetch_sitemap(link));
+                    # visited-dedup so shared children fetch once
+                    queue = list(dict.fromkeys(sm_urls))
+                    visited = set(queue)
                     depth = 0
                     while queue and depth < 3:
                         next_queue = []
                         for sm in queue:
-                            st, xml = web.sitemap_xml(h)
+                            st, xml = web.sitemap_xml(sm)
                             if st != 200:
                                 continue
                             pages, children = parse_sitemap_one(sm, xml)
@@ -270,7 +274,10 @@ class Crawler:
                                 {"hostname": h, "sitemap_url": sm, "loc": p, "is_index": False}
                                 for p in pages
                             )
-                            next_queue.extend(children)
+                            for child in children:
+                                if child not in visited:
+                                    visited.add(child)
+                                    next_queue.append(child)
                         queue, depth = next_queue, depth + 1
                 yield pd.DataFrame(
                     rows, columns=["hostname", "sitemap_url", "loc", "is_index"]

@@ -109,8 +109,40 @@ class SynthWeb:
             "Disallow: /private/\n" + delay + f"Sitemap: http://{host}/sitemap.xml\n"
         )
 
-    def sitemap_xml(self, host: str) -> tuple[int, str]:
+    def sitemap_xml(self, url_or_host: str) -> tuple[int, str]:
+        """Sitemap document by URL (or bare host ⇒ /sitemap.xml).
+
+        hosts[0] serves a **sitemapindex** at /sitemap.xml whose two
+        children (/sitemap-0.xml, /sitemap-1.xml) are urlsets — the
+        recursive-fetch path (darc/proxy/null.py:329) is only exercised
+        if the fetcher requests child sitemaps by THEIR url.
+        """
+        if "://" in url_or_host:
+            rest = url_or_host.split("://", 1)[1]
+            host, _, path = rest.partition("/")
+            path = "/" + path
+        else:
+            host, path = url_or_host, "/sitemap.xml"
         if host not in self.hosts:
+            return 404, ""
+        if host == self.hosts[0]:
+            if path == "/sitemap.xml":
+                children = "".join(
+                    f"<sitemap><loc>http://{host}/sitemap-{i}.xml</loc></sitemap>"
+                    for i in range(2)
+                )
+                return 200, (
+                    f'<?xml version="1.0"?><sitemapindex>{children}</sitemapindex>'
+                )
+            if path in ("/sitemap-0.xml", "/sitemap-1.xml"):
+                part = int(path[len("/sitemap-")])
+                locs = "".join(
+                    f"<url><loc>{self.url(host, self._h(host, 'sm', part, i) % self.pages_per_host)}</loc></url>"
+                    for i in range(3)
+                )
+                return 200, f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+            return 404, ""
+        if path != "/sitemap.xml":
             return 404, ""
         locs = "".join(
             f"<url><loc>{self.url(host, self._h(host, 'sm', i) % self.pages_per_host)}</loc></url>"

@@ -226,16 +226,20 @@ class SimCrawler:
                 sm_urls = (
                     parse_robots(text).sitemaps if status == 200 and text else []
                 ) or [f"http://{h}/sitemap.xml"]
-                queue, depth = list(sm_urls), 0
+                queue = list(dict.fromkeys(sm_urls))
+                visited, depth = set(queue), 0
                 while queue and depth < 3:
                     nxt = []
                     for sm in queue:
-                        st, xml = self.web.sitemap_xml(h)
+                        st, xml = self.web.sitemap_xml(sm)
                         if st != 200:
                             continue
                         pages, children = parse_sitemap_one(sm, xml)
                         route_buffer.append((pages, None))
-                        nxt.extend(children)
+                        for child in children:
+                            if child not in visited:
+                                visited.add(child)
+                                nxt.append(child)
                     queue, depth = nxt, depth + 1
             if proxy == "i2p":
                 status, text = self.web.hosts_txt(h)

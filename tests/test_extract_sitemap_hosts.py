@@ -113,3 +113,35 @@ def test_extract_i2p_hosts_native(spark):
     # and the plan is UDF-free
     plan = extract_i2p_hosts(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_synthweb_sitemapindex_recursion(spark, tmp_path):
+    """hosts[0] serves a sitemapindex; the new-host gate must fetch the
+    child sitemaps BY THEIR URL (darc/proxy/null.py:329) — regression for
+    the bug where every BFS level re-fetched the host's root document."""
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    hot = web.hosts[0]
+    st, xml = web.sitemap_xml(f"http://{hot}/sitemap.xml")
+    assert st == 200 and "<sitemapindex>" in xml
+    st0, xml0 = web.sitemap_xml(f"http://{hot}/sitemap-0.xml")
+    assert st0 == 200 and "<urlset>" in xml0
+
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "s"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, selenium_enabled=False),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(1)
+    rows = crawler.store.read("sitemaps").filter(f"hostname = '{hot}'").collect()
+    urls = {r["sitemap_url"] for r in rows}
+    # pages came from BOTH children, none attributed to the index itself
+    assert urls == {f"http://{hot}/sitemap-0.xml", f"http://{hot}/sitemap-1.xml"}
+    # and each child contributed its own locs (not duplicates of one doc)
+    locs0 = {r["loc"] for r in rows if r["sitemap_url"].endswith("-0.xml")}
+    locs1 = {r["loc"] for r in rows if r["sitemap_url"].endswith("-1.xml")}
+    assert locs0 and locs1 and locs0 != locs1
