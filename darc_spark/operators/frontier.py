@@ -173,44 +173,56 @@ class Frontier:
         )
 
     def _split_by_filter(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(definitely_new, maybe_seen) via the per-bucket approx filter."""
-        filters = {
-            int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
-            for r in self.store.read_all(self.t_filter).collect()
-        }
+        """(definitely_new, maybe_seen) via the per-bucket approx filter.
+
+        Distributed membership check: candidates are shuffled to their
+        filter bucket and cogrouped with that bucket's payload row —
+        the same shape as ``_update_filter``. No filter payload ever
+        reaches the driver or a UDF closure (at 10^10 seen URLs the
+        payloads total ~10 GB; collecting them per enqueue batch was the
+        round-1 scale-killer). Parallelism of this check equals
+        ``n_filter_buckets`` — size it to the cluster at deployment, the
+        way ``spark.sql.shuffle.partitions`` is.
+
+        Bucket semantics: no payload row ⇒ definitely new (the filter is
+        authoritative for every key ever enqueued with ``use_filter``);
+        payload None ⇒ bucket saturated, everything stays "maybe" and
+        the exact anti-join decides.
+        """
         keyed = candidates.withColumn("_key", F.xxhash64("name")).withColumn(
             "_bucket",
             F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets)).cast("int"),
         )
-        if not filters:
-            return keyed.drop("_key", "_bucket"), keyed.drop("_key", "_bucket").limit(0)
+        current = self.store.read_all(self.t_filter).select("bucket", "payload")
+        out_schema = T.StructType(
+            [f for f in keyed.schema.fields if f.name not in ("_key", "_bucket")]
+            + [T.StructField("_maybe", T.BooleanType(), False)]
+        )
+        out_cols = [f.name for f in out_schema.fields]
 
-        n_buckets = self.n_filter_buckets
+        def check(fdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+            if len(cdf) == 0:
+                return pd.DataFrame(columns=out_cols)
+            out = cdf.drop(columns=["_bucket"])
+            if len(fdf) == 0:
+                out["_maybe"] = False  # bucket never written: definitely new
+            else:
+                payload = fdf["payload"].iloc[0]
+                if payload is None:
+                    out["_maybe"] = True  # saturated: exact join decides
+                else:
+                    flt = load_filter(bytes(payload))
+                    keys = out["_key"].to_numpy(dtype="int64").view("uint64")
+                    out["_maybe"] = flt.might_contain(keys)
+            return out.drop(columns=["_key"])
 
-        @F.pandas_udf("boolean")
-        def maybe_seen(keys: pd.Series, buckets: pd.Series) -> pd.Series:
-            import numpy as np
-
-            out = np.ones(len(keys), dtype=bool)  # missing filter ⇒ maybe
-            kv = keys.to_numpy(dtype="int64").view("uint64")
-            bv = buckets.to_numpy(dtype="int64")
-            for b in range(n_buckets):
-                mask = bv == b
-                if not mask.any():
-                    continue
-                payload = filters.get(b)
-                if payload is None and b in filters:
-                    continue  # saturated bucket stays "maybe"
-                if b not in filters:
-                    out[mask] = False  # empty bucket: definitely new
-                    continue
-                flt = load_filter(payload)
-                out[mask] = flt.might_contain(kv[mask])
-            return pd.Series(out, index=keys.index)
-
-        flagged = keyed.withColumn("_maybe", maybe_seen("_key", "_bucket"))
-        new = flagged.filter(~F.col("_maybe")).drop("_key", "_bucket", "_maybe")
-        maybe = flagged.filter(F.col("_maybe")).drop("_key", "_bucket", "_maybe")
+        flagged = (
+            current.groupBy("bucket")
+            .cogroup(keyed.groupBy("_bucket"))
+            .applyInPandas(check, out_schema)
+        )
+        new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_maybe")
         return new, maybe
 
     def _update_filter(self, added: DataFrame, removed: DataFrame | None = None) -> None:
@@ -250,9 +262,11 @@ class Frontier:
                 n = int(fdf["n"].iloc[0])
                 flt = load_filter(bytes(payload)) if payload is not None else None
             elif kind == "cuckoo":
-                flt = CuckooFilter.for_capacity(capacity)
+                # new bucket: auto-scale capacity to the first batch so a
+                # large initial seed doesn't saturate a default-sized filter
+                flt = CuckooFilter.for_capacity(max(capacity, 2 * len(kdf)))
             else:
-                flt = BloomFilter.for_capacity(capacity)
+                flt = BloomFilter.for_capacity(max(capacity, 2 * len(kdf)))
             keys = kdf["key"].to_numpy(dtype="int64").view("uint64")
             rem = kdf["remove"].to_numpy(dtype=bool)
             ok = True
@@ -455,6 +469,62 @@ class Frontier:
             )
 
     # -- maintenance -------------------------------------------------------------
+    def rebuild_filter(self, seen: DataFrame | None = None) -> None:
+        """Rebuild every filter bucket from the exact seen set.
+
+        This is how capacity auto-scales: each bucket's filter is sized
+        ``max(configured, 2 × actual keys in bucket)``, so a bucket that
+        saturated (degraded to exact-join-only) comes back at the right
+        size. Fully distributed — one ``applyInPandas`` task per bucket.
+        Called from :meth:`compact` (the Iceberg-maintenance analogue).
+        """
+        kind, cfg_capacity = self.filter_kind, self.filter_capacity
+        src = seen if seen is not None else self.seen()
+        keyed = src.select(
+            F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))
+            .cast("int")
+            .alias("bucket"),
+            F.xxhash64("name").alias("key"),
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(pdf["bucket"].iloc[0])
+            keys = pdf["key"].to_numpy(dtype="int64").view("uint64")
+            capacity = max(cfg_capacity, 2 * len(keys))
+            if kind == "cuckoo":
+                flt = CuckooFilter.for_capacity(capacity)
+                ok = flt.insert(keys)
+            else:
+                flt = BloomFilter.for_capacity(capacity)
+                flt.add(keys)
+                ok = True
+            return pd.DataFrame(
+                [{"bucket": bucket, "payload": flt.to_bytes() if ok else None,
+                  "n": len(keys)}]
+            )
+
+        rebuilt = keyed.groupBy("bucket").applyInPandas(build, SEEN_FILTER)
+        self.store.replace(self.t_filter, rebuilt)
+
+    def filter_stats(self) -> dict[str, float]:
+        """Prefilter health: bucket count, saturated buckets, keyed rows.
+
+        Collects only (bucket, is_saturated, n) — never payload bytes.
+        A rising ``saturated`` count means the prefilter is silently
+        degrading to exact-join-only; ``rebuild_filter``/compaction
+        restores it at auto-scaled capacity.
+        """
+        rows = (
+            self.store.read_all(self.t_filter)
+            .select(F.isnull("payload").alias("sat"), "n")
+            .collect()
+        )
+        return {
+            "filter_buckets": float(len(rows)),
+            "filter_saturated": float(sum(1 for r in rows if r["sat"])),
+            "filter_keys": float(sum(r["n"] for r in rows)),
+        }
+
     def compact(self, current_round: int) -> None:
         """Fold event history into single segments (Iceberg compaction).
 
@@ -478,6 +548,9 @@ class Frontier:
             .withColumn("deleted", F.lit(False))
             .withColumn("event_seq", F.lit(self._next_seq()).cast("long")),
         )
+        # re-key the prefilter from the exact seen set at auto-scaled
+        # capacity (un-saturates degraded buckets)
+        self.rebuild_filter(seen_now)
         active = self.store.read(self.t_claims).filter(
             F.col("lease_until") > current_round
         )
@@ -487,4 +560,5 @@ class Frontier:
         return {
             "pending": float(self.pending(current_round).count()),
             "seen": float(self.seen().count()),
+            **self.filter_stats(),
         }

@@ -191,3 +191,47 @@ def test_resume_after_kill(spark, tmp_path):
     store2 = SnapshotStore(spark, store.root)
     fr2 = Frontier(store2, "requests")
     assert fr2.pending(1).count() == 2  # the uncommitted lease is invisible
+
+
+def test_membership_check_never_collects_payloads():
+    """The enqueue-path filter check must stay distributed: no driver
+    collect of filter payloads, no closure capture (round-1 scale bug)."""
+    import inspect
+
+    src = inspect.getsource(Frontier._split_by_filter)
+    assert ".collect(" not in src
+    assert "cogroup" in src
+
+
+def test_filter_saturation_degrades_then_rebuilds(spark, tmp_path):
+    """A saturated cuckoo bucket degrades to exact-join-only (payload
+    None) without losing NX correctness; compaction rebuilds it at
+    auto-scaled capacity."""
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    fr = Frontier(
+        store, "requests", n_filter_buckets=4, filter_capacity_per_bucket=4
+    )
+    first = [f"http://a.example/p{i}" for i in range(10)]
+    fr.enqueue_nx(_links(spark, first), 0)
+    fr.store.commit()
+    # second large batch overflows the small per-bucket filters
+    second = [f"http://b.example/q{i}" for i in range(500)]
+    fr.enqueue_nx(_links(spark, second), 1)
+    fr.store.commit()
+    stats = fr.filter_stats()
+    assert stats["filter_saturated"] > 0  # degraded, by design
+    # NX correctness unaffected: re-enqueue everything, nothing duplicates
+    fr.enqueue_nx(_links(spark, first + second), 2)
+    fr.store.commit()
+    assert fr.pending(2).count() == 510
+    assert fr.seen().count() == 510
+    # compaction re-keys the filter at auto-scaled capacity
+    fr.compact(2)
+    fr.store.commit()
+    stats = fr.filter_stats()
+    assert stats["filter_saturated"] == 0
+    assert stats["filter_keys"] == 510
+    # and the rebuilt filter still gives exact NX
+    fr.enqueue_nx(_links(spark, second + ["http://c.example/new"]), 3)
+    fr.store.commit()
+    assert fr.seen().count() == 511
