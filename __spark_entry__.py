@@ -935,12 +935,17 @@ FROM sigs GROUP BY 1 HAVING count(*) > 1
         "dedup_ngram_jaccard": f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_DUCK} AS t FROM documents
-), sh AS (
+), sh_all AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(t) >= 3
       THEN list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
       ELSE [] END
   ) AS shingle FROM toks
+), sh AS (
+  -- document-frequency cap (engine max_shingle_df=100): boilerplate
+  -- shingles are excluded from BOTH intersection and sizes
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 100)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (
@@ -1009,15 +1014,16 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
 SELECT ({_sig_expr_duck(8, 64)}) AS sig, CAST(count(*) AS BIGINT) AS n_vectors
 FROM embeddings GROUP BY 1
 """,
+        # exact all-pairs oracle: STRONGER than mirroring the engine's
+        # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole
+        # guarantees the banded candidates lose no pair, and this asserts it
         "phash_hamming": f"""
 WITH sigs AS (
   SELECT vec_id, ({_sig_expr_duck(16, 64)}) AS sig FROM embeddings
-), banded AS (
-  SELECT vec_id, sig, sig % {1 << 4} AS band FROM sigs
 )
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """,
     }

@@ -152,13 +152,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.3,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over shared-shingle candidate pairs."""
+    """Exact n-gram Jaccard over shared-shingle candidate pairs.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds
+    the cap BEFORE the self-join (one extra groupBy). Without it, one
+    boilerplate shingle ("all rights reserved …") shared by 10^6 docs
+    makes the candidate join quadratic per shingle group (~10^12 rows);
+    with it, every join group is ≤ cap² — the standard DataSketches-
+    style bound. Jaccard is then computed over the *surviving* shingle
+    space (both intersection and sizes), i.e. similarity over
+    non-boilerplate content — the semantic the dedup literature uses.
+    """
     sh = (
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
         .distinct()
-        .cache()  # feeds sizes + both join sides
     )
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "shingle")
+            .drop("_df")
+        )
+    sh = sh.cache()  # feeds sizes + both join sides
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

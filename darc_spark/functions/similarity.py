@@ -124,17 +124,44 @@ def hamming_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Signature near-dup pairs, banded by low signature bits to avoid
-    the cross join (candidates must agree on the band — recall is the
-    standard multi-band tradeoff, exercised here with one band)."""
-    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(
-        id_col, "sig", F.pmod(F.col("sig"), F.lit(1 << band_bits)).alias("band")
+    """Signature near-dup pairs via **multi-band** LSH.
+
+    The signature splits into ``n_bits / band_bits`` disjoint bands;
+    candidates must agree on at least one ``(band_index, band_value)``
+    key, then the exact ≤ ``max_hamming`` predicate decides. With the
+    defaults (4 bands, max_hamming 3 < 4 bands) recall is EXACT by
+    pigeonhole — any pair within hamming 3 differs in at most 3 bands,
+    so it collides in ≥ 1 — which the all-pairs DuckDB oracle asserts.
+
+    Scale: a single band key (round-1 shape: ``sig % 16``) gives only
+    2^band_bits buckets — ~quadratic within each at 10^10 rows. Here a
+    bucket is ``(band_index, value)`` — 4 × 2^band_bits keys — and,
+    more importantly, each bucket's population is rows agreeing on a
+    *specific* 4-bit slice, the standard bounded-bucket banding; AQE
+    skew-join splits residual hot buckets.
+    """
+    n_bands = n_bits // band_bits
+    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(id_col, "sig")
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     ).cache()  # feeds both sides of the self-join
-    a, b = sigs.alias("a"), sigs.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -145,4 +172,5 @@ def hamming_near_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
     )

@@ -1,0 +1,86 @@
+"""Skew/scale behavior of the dedup & similarity candidate generators:
+hot-shingle DF cap (ngram jaccard) and multi-band hamming recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from darc_spark.functions.dedup import ngram_jaccard_pairs
+from darc_spark.functions.similarity import hamming_near_pairs, lsh_signatures
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BOILER = "all rights reserved by the original publisher of this work"
+
+
+def test_ngram_hot_shingle_df_cap(spark):
+    """One boilerplate sentence shared by every doc must NOT generate
+    O(N^2) candidate pairs: the df cap drops its shingles pre-join."""
+    n = 300
+    rows = [
+        # unique body + shared boilerplate → only overlap is the hot shingles
+        (i, f"unique words number {i} alpha beta gamma delta row {i}. {BOILER}")
+        for i in range(n)
+    ]
+    # two true near-dup pairs with heavy non-boilerplate overlap
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1001, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    ]
+    docs = _docs(spark, rows)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1000, 1001) in got
+    # boilerplate-only pairs are gone (their shingles exceeded the cap)
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+
+
+def test_ngram_cap_none_keeps_boilerplate_pairs(spark):
+    """Sanity: with the cap off, boilerplate-only overlap DOES pair up
+    (shows the cap is what bounds the join, not an accident)."""
+    rows = [(i, f"unique {i} thing. {BOILER}") for i in range(10)]
+    docs = _docs(spark, rows)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=5).count()
+    assert uncapped > 0
+    assert capped == 0
+
+
+def test_hamming_multiband_exact_recall(spark):
+    """4 disjoint bands with max_hamming=3 lose NO pair (pigeonhole):
+    banded result equals brute-force all-pairs over the signatures."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sigs = {
+        r["vec_id"]: r["sig"]
+        for r in lsh_signatures(emb, n_bits=16, dims=64).select("vec_id", "sig").collect()
+    }
+    ids = sorted(sigs)
+    sig_arr = np.array([sigs[i] for i in ids], dtype=np.int64)
+    xor = sig_arr[:, None] ^ sig_arr[None, :]
+    ham = np.zeros_like(xor)
+    for b in range(16):
+        ham += (xor >> b) & 1
+    iu = np.triu_indices(len(ids), k=1)
+    expect = {
+        (ids[i], ids[j], int(ham[i, j]))
+        for i, j in zip(*iu)
+        if ham[i, j] <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(emb, n_bits=16, dims=64, max_hamming=3).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_hamming_band_bucket_bound(spark):
+    """Plan shape: the join keys on (band_idx, band_val) — never a raw
+    cross join on a single coarse band column."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = hamming_near_pairs(emb)._jdf.queryExecution().optimizedPlan().toString()
+    assert "band_idx" in plan and "band_val" in plan
