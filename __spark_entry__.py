@@ -214,20 +214,52 @@ def q_link_graph_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_redirect_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: posexplode with index (redirect-history analogue)."""
-    from darc_spark.functions.text import tokens
+def _fetch_corpus(spark: SparkSession) -> DataFrame:
+    """Enumerated SynthWeb URL space pushed through the REAL distributed
+    fetch path (run_fetch mapInPandas) — the input for the response-
+    metadata queries (headers / redirect history)."""
+    from darc_spark.functions.canon import with_parsed_link
+    from darc_spark.operators.fetch import run_fetch
+    from darc_spark.sources.synth import SynthWeb
 
-    (docs,) = _load(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("doc_id") < 100)
-        .select("doc_id", F.posexplode(F.slice(tokens(F.col("text")), 1, 5)))
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("pos").cast("long").alias("pos"),
-            F.col("col").alias("tok"),
-        )
+    web = SynthWeb(seed=42, pages_per_host=60, branching=3)
+    urls = [web.url(h, p) for h in web.hosts for p in range(web.pages_per_host)]
+    links = with_parsed_link(
+        spark.createDataFrame([(u,) for u in urls], "url string")
+    ).withColumn("backref", F.lit(None).cast("string"))
+    claimed = (
+        links.withColumn("priority", F.lit(0).cast("int"))
+        .withColumn("retry_count", F.lit(0).cast("int"))
+        .withColumn("enqueue_round", F.lit(0).cast("long"))
     )
+    return run_fetch(claimed, web.pages_batch)
+
+
+def q_redirect_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: REAL per-fetch redirect chains with hop index, via the
+    distributed fetch path (response.history persistence,
+    darc/model/web/requests.py:66-103, darc/submit.py:545-557)."""
+    raw = _fetch_corpus(spark)
+    return raw.select(
+        "url", F.posexplode("history").alias("pos", "hop")
+    ).select(
+        "url",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("hop.url").alias("hop_url"),
+        F.col("hop.status").cast("int").alias("hop_status"),
+    )
+
+
+def q_fetch_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: response headers/cookies persisted per fetch
+    (save_headers, darc/save.py:136-220) — exploded to rows."""
+    raw = _fetch_corpus(spark)
+    headers = raw.select("url", F.explode("headers").alias("hkey", "hval"))
+    cookies = raw.select(
+        "url",
+        F.explode("cookies").alias("ckey", "hval"),
+    ).select("url", F.concat(F.lit("cookie:"), F.col("ckey")).alias("hkey"), "hval")
+    return headers.unionByName(cookies)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,9 +525,15 @@ def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- non-SQL-expressible (rows-only checks) -----------------------------------
 def q_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl loop itself: 2 rounds on the synthetic web."""
+    """The crawl loop itself: 2 rounds on the synthetic web.
+
+    Oracle-checked: the DuckDB side reads the per-fetch rows produced by
+    the pure-Python reference simulator (tests/oracle_crawler.py — the
+    independent reimplementation of darc's round semantics) exported to
+    parquet by ``oracle_sql()`` under the SAME seed list, config and
+    politeness budget. This is the flagship crawl-ordering equivalence
+    (SURVEY §5 item 3) surfaced as a value-checked driver row."""
     import tempfile
 
     from darc_spark.operators.crawl import Crawler, CrawlConfig
@@ -615,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hostname_agg": q_hostname_agg,
         "link_graph_join": q_link_graph_join,
         "redirect_history": q_redirect_history,
+        "fetch_headers": q_fetch_headers,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "tpch_q1": q_tpch_q1,
@@ -645,6 +684,103 @@ _RAW_QUERIES = queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     return {name: _with_shipping(fn) for name, fn in _RAW_QUERIES().items()}
+
+
+_ORACLE_DIR = "/tmp/darc_spark_oracle"
+_ORACLE_EXPORTED = False
+
+
+def _export_python_oracles() -> None:
+    """Materialize the pure-Python oracles as parquet for DuckDB.
+
+    Two query families have no SQL-expressible oracle over the test
+    tables but ARE deterministic pure functions of the seed:
+
+    * ``crawl_rounds`` — the single-threaded reference simulator
+      (tests/oracle_crawler.py) run under the identical seed list +
+      config; its per-fetch rows are the expected engine output.
+    * ``redirect_history`` / ``fetch_headers`` — direct enumeration of
+      the page function's response metadata; checks the DISTRIBUTED
+      plumbing (Arrow map/struct transfer, posexplode) against the
+      driver-side ground truth.
+
+    Called from ``oracle_sql()`` (always before the SQL can run); writes
+    once per process.
+    """
+    global _ORACLE_EXPORTED
+    if _ORACLE_EXPORTED:
+        return
+    import os
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from darc_spark.operators.crawl import CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+    from tests.oracle_crawler import SimCrawler
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    sim = SimCrawler(
+        web, CrawlConfig(per_host=4, lease=2, max_retries=1, n_filter_buckets=4)
+    )
+    sim.seed(web.seeds())
+    sim.run(2)
+    rows = sim.fetches
+    pq.write_table(
+        pa.table(
+            {
+                "fetch_round": pa.array([r[0] for r in rows], pa.int64()),
+                "hostname": pa.array([r[1] for r in rows], pa.string()),
+                "url": pa.array([r[2] for r in rows], pa.string()),
+                "status_code": pa.array([r[3] for r in rows], pa.int32()),
+                "is_html": pa.array([r[4] for r in rows], pa.bool_()),
+                "n_links": pa.array([r[5] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "crawl_rounds.parquet"),
+    )
+
+    web2 = SynthWeb(seed=42, pages_per_host=60, branching=3)
+    hist: list[tuple] = []
+    heads: list[tuple] = []
+    for h in web2.hosts:
+        for p in range(web2.pages_per_host):
+            u = web2.url(h, p)
+            page = web2.page(u)
+            for i, hop in enumerate(page["history"]):
+                hist.append((u, i, hop["url"], hop["status"]))
+            for k, v in page["headers"].items():
+                heads.append((u, k, v))
+            for k, v in page["cookies"].items():
+                heads.append((u, f"cookie:{k}", v))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in hist], pa.string()),
+                "pos": pa.array([r[1] for r in hist], pa.int64()),
+                "hop_url": pa.array([r[2] for r in hist], pa.string()),
+                "hop_status": pa.array([r[3] for r in hist], pa.int32()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "redirect_history.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in heads], pa.string()),
+                "hkey": pa.array([r[1] for r in heads], pa.string()),
+                "hval": pa.array([r[2] for r in heads], pa.string()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "fetch_headers.parquet"),
+    )
+    _ORACLE_EXPORTED = True
 
 
 def _duck_minhash_sig(bands: int = 4) -> str:
@@ -716,6 +852,7 @@ def _sig_expr_duck(n_bits: int, dims: int, vec: str = "embedding") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _export_python_oracles()
     stop_hits = (
         f"len(list_filter(t, x -> list_contains({_STOP_DUCK}, x)))"
     )
@@ -834,17 +971,17 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
         "redirect_history": f"""
-WITH toks AS (
-  SELECT doc_id, list_slice({_TOKS_DUCK}, 1, 5) AS t FROM documents WHERE doc_id < 100
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(u['pos'] AS BIGINT) AS pos,
-       u['tok'] AS tok
-FROM (
-  SELECT doc_id,
-         unnest(list_transform(range(0, len(t)), i -> {{'pos': i, 'tok': t[i+1]}})) AS u
-  FROM toks
-)
+SELECT url, CAST(pos AS BIGINT) AS pos, hop_url, CAST(hop_status AS INT) AS hop_status
+FROM read_parquet('{_ORACLE_DIR}/redirect_history.parquet')
+""",
+        "fetch_headers": f"""
+SELECT url, hkey, hval FROM read_parquet('{_ORACLE_DIR}/fetch_headers.parquet')
+""",
+        "crawl_rounds": f"""
+SELECT CAST(fetch_round AS BIGINT) AS fetch_round, hostname, url,
+       CAST(status_code AS INT) AS status_code, is_html,
+       CAST(n_links AS INT) AS n_links
+FROM read_parquet('{_ORACLE_DIR}/crawl_rounds.parquet')
 """,
         "sessionize": """
 WITH lagged AS (

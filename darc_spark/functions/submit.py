@@ -62,6 +62,10 @@ def requests_payloads(fetches: DataFrame) -> DataFrame:
                     F.col("status_code").alias("StatusCode"),
                     F.col("content_type").alias("ContentType"),
                     F.col("is_html").alias("HTML"),
+                    # save_headers parity (darc/save.py:136-220)
+                    F.col("headers").alias("Headers"),
+                    F.col("cookies").alias("Cookies"),
+                    F.col("history").alias("History"),
                 ).alias("Response"),
                 _metadata().alias("Metadata"),
                 F.base64(F.col("bytes")).alias("Document"),

@@ -495,6 +495,9 @@ class Crawler:
             F.lit(r).cast("long").alias("fetch_round"),
             "status_code",
             "content_type",
+            "headers",
+            "cookies",
+            "history",
             "is_html",
             F.coalesce(F.size("links"), F.lit(0)).alias("n_links"),
             "image_id",

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from darc_spark.functions.extract import extract_links_batch
 from darc_spark.registry import SITE_MAP
+from darc_spark.schema import HISTORY_HOP
 
 _PASS_THROUGH = [
     "name",
@@ -56,6 +57,9 @@ FETCH_RESULT = T.StructType(
         T.StructField("enqueue_round", T.LongType(), False),
         T.StructField("status_code", T.IntegerType(), True),
         T.StructField("content_type", T.StringType(), True),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("cookies", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("history", T.ArrayType(HISTORY_HOP), True),
         T.StructField("is_html", T.BooleanType(), False),
         T.StructField("empty_body", T.BooleanType(), False),
         T.StructField("no_return", T.BooleanType(), False),
@@ -125,6 +129,10 @@ def run_fetch(
             html = pages["html"].fillna("")
             out["status_code"] = pages["status_code"]
             out["content_type"] = ct
+            # response metadata (headers/cookies/redirect history) — dict/
+            # list cells transfer as Arrow map/struct columns; absent ⇒ null
+            for c in ("headers", "cookies", "history"):
+                out[c] = pages[c] if c in pages.columns else None
             out["is_html"] = is_html
             out["empty_body"] = html.str.len() == 0
             out["no_return"] = pages.get(

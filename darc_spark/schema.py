@@ -104,9 +104,19 @@ IMAGE = T.StructType(
     ]
 )
 
+# redirect chain entry — one hop of response.history
+# (darc/model/web/requests.py:66-103, darc/submit.py:545-557)
+HISTORY_HOP = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+    ]
+)
+
 # fetches — one row per completed fetch (darc's save.py artifacts +
 # RequestsModel, darc/save.py:63-133, darc/model/web/requests.py:36-103),
-# carrying the image payload columns.
+# carrying the image payload columns plus response headers/cookies
+# (save_headers, darc/save.py:136-220) and the redirect history chain.
 FETCHES = T.StructType(
     [
         T.StructField("name", T.StringType(), False),
@@ -116,6 +126,9 @@ FETCHES = T.StructType(
         T.StructField("fetch_round", T.LongType(), False),
         T.StructField("status_code", T.IntegerType(), True),
         T.StructField("content_type", T.StringType(), True),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("cookies", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("history", T.ArrayType(HISTORY_HOP), True),
         T.StructField("is_html", T.BooleanType(), True),
         T.StructField("n_links", T.IntegerType(), True),
         T.StructField("image_id", T.StringType(), True),

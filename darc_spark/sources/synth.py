@@ -208,12 +208,33 @@ class SynthWeb:
             out.append(self.url(target_host, target_pid, private))
         return out
 
+    def _response_meta(self, host: str, pid: int, h: int, content_type: str) -> dict:
+        """Deterministic response headers / cookies / redirect history —
+        the reference persists all three per fetch (darc/save.py:136-220,
+        response.history darc/submit.py:545-557)."""
+        headers = {
+            "server": f"synthweb/{self.hosts.index(host) if host in self.hosts else 9}",
+            "content-type": content_type,
+            "etag": f"{h & 0xFFFFFFFF:08x}",
+        }
+        cookies = {"sid": f"{(h >> 12) & 0xFFFF:04x}"} if (h >> 12) % 3 == 0 else {}
+        # ~1/7 pages arrive via a 301 hop from a /r/<pid> shortlink
+        history = (
+            [{"url": f"http://{host}/r/{pid}", "status": 301}]
+            if (h >> 20) % 7 == 0
+            else []
+        )
+        return {"headers": headers, "cookies": cookies, "history": history}
+
     def page(self, url: str) -> dict:
         """The pure fetch function. Never throws."""
         null = {
             "status_code": 404,
             "content_type": "text/plain",
             "html": "",
+            "headers": {},
+            "cookies": {},
+            "history": [],
             "image_id": None,
             "bytes": None,
             "w": None,
@@ -232,11 +253,24 @@ class SynthWeb:
 
         h = self._h(host, kind, pid, "meta")
         status, content_type, empty = self._meta(h)
+        resp = self._response_meta(host, pid, h, content_type)
         if empty:
-            return {**null, "status_code": 200, "content_type": "text/html", "html": ""}
+            return {
+                **null,
+                **resp,
+                "status_code": 200,
+                "content_type": "text/html",
+                "html": "",
+            }
 
         if content_type == "image/png":
-            return {**null, "status_code": status, "content_type": "image/png", "html": ""}
+            return {
+                **null,
+                **resp,
+                "status_code": status,
+                "content_type": "image/png",
+                "html": "",
+            }
 
         children = self._child_urls(host, kind, pid)
         anchors = "".join(f'<a href="{c}">{c.split("/")[-1]}</a> ' for c in children)
@@ -254,6 +288,7 @@ class SynthWeb:
 
         out = {
             **null,
+            **resp,
             "status_code": status,
             "content_type": content_type,
             "html": body,

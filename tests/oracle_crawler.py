@@ -118,8 +118,11 @@ class SimCrawler:
         self.hostname_state: dict[str, int] = {}  # host → last_fetch_round
         self.known_hosts: set[str] = set()
         self.robots: dict[str, tuple[int, str]] = {}
-        self.fetches: list[tuple[int, str, str, int]] = []  # round, host, url, status
-        self.fetches_sel: list[tuple[int, str, str, int]] = []
+        # (round, hostname, url, status, is_html, n_links) — n_links
+        # matches the engine's fetches.n_links (size of the extracted
+        # array: 0 for non-HTML and empty bodies)
+        self.fetches: list[tuple[int, str, str, int, bool, int]] = []
+        self.fetches_sel: list[tuple[int, str, str, int, bool, int]] = []
         self.edges: set[tuple[str, str]] = set()
         self.special: set[tuple[str, str]] = set()
         self.round = 0
@@ -305,7 +308,13 @@ class SimCrawler:
             ct = (page["content_type"] or "").lower().split(";")[0].strip()
             html = page["html"] or ""
             is_html = ct in _HTML_TYPES
-            self.fetches.append((r, rec.hostname, rec.url, status))
+            links: list[str] = []
+            if is_html and html:
+                links = extract_hrefs_one(rec.url, html)
+                links.extend(extract_text_urls_one(re.sub(r"<[^>]*>", " ", html)))
+            self.fetches.append(
+                (r, rec.hostname, rec.url, status, is_html, len(links))
+            )
             if not is_html:
                 if self._match_mime_drop(ct):
                     mime_drops.append(name)
@@ -317,8 +326,6 @@ class SimCrawler:
             if not html:
                 failures.append(name)
                 continue
-            links = extract_hrefs_one(rec.url, html)
-            links.extend(extract_text_urls_one(re.sub(r"<[^>]*>", " ", html)))
             route_buffer.append((links, {"name": name, "url": rec.url}))
             if status < 400:
                 ok_done.append((name, rec))
@@ -356,10 +363,14 @@ class SimCrawler:
                 ct = (page["content_type"] or "").lower().split(";")[0].strip()
                 html = page["html"] or ""
                 is_html = ct in _HTML_TYPES
-                self.fetches_sel.append((r, rec.hostname, rec.url, page["status_code"]))
+                links = []
                 if is_html and html:
                     links = extract_hrefs_one(rec.url, html)
                     links.extend(extract_text_urls_one(re.sub(r"<[^>]*>", " ", html)))
+                self.fetches_sel.append(
+                    (r, rec.hostname, rec.url, page["status_code"], is_html, len(links))
+                )
+                if is_html and html:
                     sel_routes.append(links)
                     sel_done.append(name)
                 else:

@@ -44,9 +44,16 @@ def crawled(spark, tmp_path_factory):
 
 def _engine_fetches(crawler, table):
     return {
-        (r["fetch_round"], r["hostname"], r["url"], r["status_code"])
+        (
+            r["fetch_round"],
+            r["hostname"],
+            r["url"],
+            r["status_code"],
+            r["is_html"],
+            r["n_links"],
+        )
         for r in crawler.store.read(table)
-        .select("fetch_round", "hostname", "url", "status_code")
+        .select("fetch_round", "hostname", "url", "status_code", "is_html", "n_links")
         .collect()
     }
 
@@ -114,6 +121,30 @@ def test_image_invariants(crawled):
         assert r["phash"] == phash64(orig)
         page = WEB.page(r["url"])
         assert r["caption"] == page["caption"]
+
+
+def test_response_metadata_persisted(crawled):
+    """S9/W2 parity: every fetches row carries the response headers,
+    cookies and redirect history exactly as the web served them
+    (darc/save.py:136-220, darc/model/web/requests.py:66-103)."""
+    crawler, _ = crawled
+    rows = (
+        crawler.store.read("fetches")
+        .select("url", "headers", "cookies", "history")
+        .collect()
+    )
+    assert rows
+    n_hist = 0
+    for r in rows:
+        page = WEB.page(r["url"])
+        assert dict(r["headers"] or {}) == page["headers"], r["url"]
+        assert dict(r["cookies"] or {}) == page["cookies"], r["url"]
+        got_hist = [
+            {"url": h["url"], "status": h["status"]} for h in (r["history"] or [])
+        ]
+        assert got_hist == page["history"], r["url"]
+        n_hist += len(got_hist)
+    assert n_hist > 0, "corpus should include redirect chains"
 
 
 def test_kill_resume_equivalence(spark, tmp_path):

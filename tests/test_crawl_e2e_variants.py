@@ -50,9 +50,16 @@ def test_variant_equivalence(spark, tmp_path, name):
     sim.run(2)
 
     engine_fetches = {
-        (r["fetch_round"], r["hostname"], r["url"], r["status_code"])
+        (
+            r["fetch_round"],
+            r["hostname"],
+            r["url"],
+            r["status_code"],
+            r["is_html"],
+            r["n_links"],
+        )
         for r in crawler.store.read("fetches")
-        .select("fetch_round", "hostname", "url", "status_code")
+        .select("fetch_round", "hostname", "url", "status_code", "is_html", "n_links")
         .collect()
     }
     assert engine_fetches == set(sim.fetches), name
