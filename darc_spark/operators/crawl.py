@@ -204,7 +204,12 @@ class Crawler:
                 F.lit(r).cast("long").alias("last_fetch_round"),
             ),
         )
-        if new_hosts.isEmpty():
+        # ONE agg drives both the early-exit and the i2p sub-branch
+        nh = new_hosts.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("proxy") == "i2p").cast("int")).alias("n_i2p"),
+        ).head()
+        if int(nh["n"] or 0) == 0:
             return None
         web = self.web
 
@@ -302,7 +307,7 @@ class Crawler:
 
         # i2p new hosts: hosts.txt subscription (darc/crawl.py:156-161)
         i2p_new = new_hosts.filter(F.col("proxy") == "i2p")
-        if not i2p_new.isEmpty():
+        if int(nh["n_i2p"] or 0):
             def fetch_hosts_txt(pdf_iter):
                 for pdf in pdf_iter:
                     rows = []
@@ -416,8 +421,14 @@ class Crawler:
             fr.enqueue_nx(out, r, use_filter=self.cfg.use_seen_filter)
 
     # -- round stages ---------------------------------------------------------
-    def _claim_filters(self, claimed: DataFrame, fr: Frontier, r: int) -> DataFrame:
-        """Claim-time F1/F2 (darc/crawl.py:117-124): violators are dropped."""
+    def _claim_filters(
+        self, claimed: DataFrame, fr: Frontier, r: int
+    ) -> tuple[DataFrame, int]:
+        """Claim-time F1/F2 (darc/crawl.py:117-124): violators are dropped.
+
+        Returns (kept rows, total claimed count) from ONE aggregate job
+        — replaces the separate count() + isEmpty() probes (driver
+        job-count is the engine's largest per-round fixed cost)."""
         drop_cond = match_proxy_drop(
             F.col("proxy"),
             list(self.cfg.proxy_white),
@@ -429,10 +440,14 @@ class Crawler:
             list(self.cfg.host_black),
             self.cfg.host_fallback,
         )
-        to_drop = claimed.filter(drop_cond)
-        if not to_drop.isEmpty():
-            fr.drop(to_drop, r, reason="filtered")
-        return claimed.filter(~drop_cond)
+        row = claimed.agg(
+            F.count("*").alias("n"),
+            F.sum(drop_cond.cast("int")).alias("n_drop"),
+        ).head()
+        n, n_drop = int(row["n"] or 0), int(row["n_drop"] or 0)
+        if n_drop:
+            fr.drop(claimed.filter(drop_cond), r, reason="filtered")
+        return claimed.filter(~drop_cond), n
 
     def _raw_stats(self, raw: DataFrame, cfg: CrawlConfig) -> dict[str, int]:
         """ONE aggregate job over the materialized fetch batch drives all
@@ -483,6 +498,30 @@ class Crawler:
                     F.coalesce(F.size("links"), F.lit(0)),
                 ).otherwise(0)
             ).alias("n_extracted"),
+            # retry/give-up splits for BOTH stage shapes, so the failure
+            # path needs no isEmpty probes (requests failure = bad HTML;
+            # selenium failure = anything that did not render)
+            *[
+                F.sum((pred & rc).cast("int")).alias(name)
+                for (label, pred) in (
+                    (
+                        "req",
+                        ~F.col("no_return")
+                        & F.col("is_html")
+                        & (F.col("empty_body") | (F.col("status_code") >= 400)),
+                    ),
+                    (
+                        "sel",
+                        ~F.col("no_return")
+                        & ~(F.col("is_html") & ~F.col("empty_body")),
+                    ),
+                )
+                for (kind, rc) in (
+                    ("retry", F.col("retry_count") < cfg.max_retries),
+                    ("giveup", F.col("retry_count") >= cfg.max_retries),
+                )
+                for name in (f"n_{kind}_{label}",)
+            ],
         ).head()
         return {k: int(row[k] or 0) for k in row.asDict()}
 
@@ -522,12 +561,12 @@ class Crawler:
             hostname_state=self._hostname_state(),
             escalate_above=cfg.escalate_above,
         )
-        m = {"claimed_requests": float(claimed.count())}
-        if m["claimed_requests"] == 0:
+        keep, n_claimed = self._claim_filters(claimed, self.fr_req, r)
+        m = {"claimed_requests": float(n_claimed)}
+        if n_claimed == 0:
             return m
         kept_acc: list[DataFrame] = []
         special_acc: list[DataFrame] = []
-        keep = self._claim_filters(claimed, self.fr_req, r)
         fresh_docs = self._new_host_gate(keep, r, kept_acc, special_acc)
 
         if cfg.robots_enabled:
@@ -646,7 +685,8 @@ class Crawler:
             failures,
             r,
             reason="fetch-failed",
-            n_failures=st["n_html_empty"] + st["n_failed"],
+            n_retry=st["n_retry_req"],
+            n_giveup=st["n_giveup_req"],
         )
         m["ok_requests"] = float(st["n_ok"])
         return m
@@ -660,10 +700,10 @@ class Crawler:
             salt_shards=cfg.salt_shards,
             escalate_above=cfg.escalate_above,
         )
-        m = {"claimed_selenium": float(claimed.count())}
-        if m["claimed_selenium"] == 0:
+        keep, n_claimed = self._claim_filters(claimed, self.fr_sel, r)
+        m = {"claimed_selenium": float(n_claimed)}
+        if n_claimed == 0:
             return m
-        keep = self._claim_filters(claimed, self.fr_sel, r)
         raw = self.store.write_scratch(
             "fetch_raw_selenium", run_fetch(keep, self.web.pages_batch)
         )
@@ -694,7 +734,7 @@ class Crawler:
         failed = live.filter(~(F.col("is_html") & ~F.col("empty_body")))
         self._retry_or_drop(
             self.fr_sel, failed, r, reason="render-failed",
-            n_failures=st["n"] - st["n_noreturn"] - n_rendered,
+            n_retry=st["n_retry_sel"], n_giveup=st["n_giveup_sel"],
         )
         m["rendered"] = float(n_rendered)
         return m
@@ -705,20 +745,22 @@ class Crawler:
         rows: DataFrame,
         r: int,
         reason: str,
-        n_failures: int | None = None,
+        n_retry: int,
+        n_giveup: int,
     ) -> None:
         """Failure path: requeue now (darc requeues forever); cap for
-        termination via max_retries (engine extension)."""
-        if n_failures == 0:
-            return
-        if n_failures is None and rows.isEmpty():
-            return
-        retry = rows.filter(F.col("retry_count") < self.cfg.max_retries)
-        give_up = rows.filter(F.col("retry_count") >= self.cfg.max_retries)
-        if not retry.isEmpty():
-            fr.requeue(retry, r, delay=1)
-        if not give_up.isEmpty():
-            fr.drop(give_up, r, reason=f"{reason}-max-retries")
+        termination via max_retries (engine extension). Counts come from
+        the stage's ``_raw_stats`` aggregate — no extra probe jobs."""
+        if n_retry:
+            fr.requeue(
+                rows.filter(F.col("retry_count") < self.cfg.max_retries), r, delay=1
+            )
+        if n_giveup:
+            fr.drop(
+                rows.filter(F.col("retry_count") >= self.cfg.max_retries),
+                r,
+                reason=f"{reason}-max-retries",
+            )
 
     # -- round driver ---------------------------------------------------------
     def run_round(self) -> dict[str, float]:

@@ -422,8 +422,22 @@ class Frontier:
             p = politeness.crawl_delay_gate(
                 p, hostname_state, robots_delays, current_round
             )
+        host_counts = None
+        if escalate_above is not None:
+            # cheap over-estimate for salt escalation: raw frontier event
+            # counts per host (plain scan+agg — avoids re-executing the
+            # merge-on-read pending() plan; over-escalating is harmless)
+            host_counts = (
+                self.store.read(self.t_frontier)
+                .groupBy("hostname")
+                .agg(F.count("*").alias("_host_n"))
+            )
         batch = politeness.per_host_top_k(
-            p, per_host, salt_shards=salt_shards, escalate_above=escalate_above
+            p,
+            per_host,
+            salt_shards=salt_shards,
+            escalate_above=escalate_above,
+            host_counts=host_counts,
         )
         rows = batch.withColumn(
             "claim_round", F.lit(current_round).cast("long")

@@ -38,6 +38,7 @@ def per_host_top_k(
     salt_shards: int = 8,
     escalate_above: int | None = None,
     max_shards: int = 256,
+    host_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic top-k rows per host under the claim order.
 
@@ -47,11 +48,22 @@ def per_host_top_k(
     escalation. Escalation only changes phase-1 task sizing; phase 2
     re-ranks with the same total order, so the result is identical for
     any shard counts (asserted by tests).
+
+    ``host_counts``: optional precomputed (host_col, _host_n) dim. When
+    the caller has a cheap OVER-estimate of per-host pending (e.g. raw
+    frontier event counts, no merge-on-read joins), passing it avoids
+    re-executing ``df``'s full plan for the count — over-escalation only
+    adds phase-1 shards, never changes the result. Hosts absent from the
+    dim fall back to ``salt_shards``.
     """
     order = claim_order_cols()
     if salt_shards > 1:
         if escalate_above is not None:
-            counts = df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+            counts = (
+                host_counts
+                if host_counts is not None
+                else df.groupBy(host_col).agg(F.count("*").alias("_host_n"))
+            )
             shards_for = F.when(
                 F.col("_host_n") > escalate_above,
                 F.least(
@@ -63,6 +75,9 @@ def per_host_top_k(
             df = df.join(
                 F.broadcast(counts.withColumn("_shards", shards_for)).drop("_host_n"),
                 host_col,
+                "left",
+            ).withColumn(
+                "_shards", F.coalesce(F.col("_shards"), F.lit(salt_shards))
             )
             shard = F.pmod(F.xxhash64(F.col("url")), F.col("_shards"))
         else:
