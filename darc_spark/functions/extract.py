@@ -30,6 +30,17 @@ _ATTR_RE = re.compile(
     r"""(?:href|src)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'<>`]+))""",
     re.IGNORECASE,
 )
+# html5lib-parity pre-passes: an attribute regex would otherwise harvest
+# from markup the reference's tree parser never sees as elements —
+# comments (bs4 Comment nodes) and raw text inside script/style
+# (parsed as text, not tags). The reference does NOT honor <base href>
+# for joining (bs4 applies no base resolution; darc/parse.py:322-329
+# joins against link.url), and a <base href> element itself IS extracted
+# (it has an href attribute) — both matched here.
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE_RE = re.compile(
+    r"(<(script|style)\b[^>]*>).*?(</\2\s*>)", re.S | re.I
+)
 
 # Text URL patterns — same contract as the reference's URL_PAT table
 # (darc/parse.py:40-59; the http/mail patterns follow the public py-gfm
@@ -69,9 +80,13 @@ def extract_hrefs_one(page_url: str, html: str) -> list[str]:
     """All href/src targets of one document, absolutized against page_url."""
     if not html:
         return []
+    html = _COMMENT_RE.sub(" ", html)
+    html = _SCRIPT_STYLE_RE.sub(r"\1\3", html)
     out = []
     for m in _ATTR_RE.finditer(html):
-        href = m.group(1) or m.group(2) or m.group(3)
+        # empty quoted values count: href="" joins to the page itself
+        # (bs4 .get returns "" and the reference urljoins it)
+        href = next((g for g in m.groups() if g is not None), None)
         if href is None:
             continue
         out.append(_safe_urljoin(page_url, href))

@@ -76,8 +76,8 @@ def requests_payloads(fetches: DataFrame) -> DataFrame:
 
 def selenium_payloads(fetches_selenium: DataFrame) -> DataFrame:
     """One JSON document per rendered page (selenium.schema.json);
-    the screenshot rides as base64 like the reference's PNG
-    (``darc/crawl.py:333-341``)."""
+    the DISTINCT screenshot artifact rides as base64 like the
+    reference's PNG (``darc/crawl.py:333-341``)."""
     return fetches_selenium.select(
         F.col("name"),
         F.to_json(
@@ -85,7 +85,8 @@ def selenium_payloads(fetches_selenium: DataFrame) -> DataFrame:
                 F.col("fetch_round").alias("Timestamp"),
                 F.col("url").alias("URL"),
                 _metadata().alias("Metadata"),
-                F.base64(F.col("bytes")).alias("Screenshot"),
+                F.base64(F.col("bytes")).alias("Document"),
+                F.base64(F.col("screenshot")).alias("Screenshot"),
             )
         ).alias("payload"),
     )

@@ -525,7 +525,10 @@ class Crawler:
         ).head()
         return {k: int(row[k] or 0) for k in row.asDict()}
 
-    def _fetches_rows(self, raw: DataFrame, r: int) -> DataFrame:
+    def _fetches_rows(
+        self, raw: DataFrame, r: int, screenshot: bool = False
+    ) -> DataFrame:
+        extra = ["screenshot"] if screenshot else []
         return raw.select(
             "name",
             "url",
@@ -548,6 +551,7 @@ class Crawler:
             "phash",
             "fetch_partition",
             "fetch_batch_ms",
+            *extra,
         )
 
     def _requests_stage(self, r: int) -> dict[str, float]:
@@ -704,11 +708,16 @@ class Crawler:
         m = {"claimed_selenium": float(n_claimed)}
         if n_claimed == 0:
             return m
+        # loader-stage fetch: render_batch adds the screenshot artifact
+        # (falls back to pages_batch for web doubles without a renderer)
+        fetch_fn = getattr(self.web, "render_batch", self.web.pages_batch)
         raw = self.store.write_scratch(
-            "fetch_raw_selenium", run_fetch(keep, self.web.pages_batch)
+            "fetch_raw_selenium", run_fetch(keep, fetch_fn)
         )
         st = self._raw_stats(raw, cfg)
-        self.store.append("fetches_selenium", self._fetches_rows(raw, r))
+        self.store.append(
+            "fetches_selenium", self._fetches_rows(raw, r, screenshot=True)
+        )
         # LinkNoReturn from site hooks → permanent drop BEFORE extraction
         # (reference loader drops on LinkNoReturn, darc/crawl.py:303-309 —
         # mirrors the requests stage; no_return pages neither extract nor

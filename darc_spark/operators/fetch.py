@@ -60,6 +60,9 @@ FETCH_RESULT = T.StructType(
         T.StructField("headers", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("cookies", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("history", T.ArrayType(HISTORY_HOP), True),
+        # render stage only: the screenshot PNG, distinct from the page
+        # payload (darc/model/web/selenium.py:40); null in requests stage
+        T.StructField("screenshot", T.BinaryType(), True),
         T.StructField("is_html", T.BooleanType(), False),
         T.StructField("empty_body", T.BooleanType(), False),
         T.StructField("no_return", T.BooleanType(), False),
@@ -131,7 +134,7 @@ def run_fetch(
             out["content_type"] = ct
             # response metadata (headers/cookies/redirect history) — dict/
             # list cells transfer as Arrow map/struct columns; absent ⇒ null
-            for c in ("headers", "cookies", "history"):
+            for c in ("headers", "cookies", "history", "screenshot"):
                 out[c] = pages[c] if c in pages.columns else None
             out["is_html"] = is_html
             out["empty_body"] = html.str.len() == 0

@@ -198,13 +198,20 @@ SITEMAPS = T.StructType(
     ]
 )
 
+# fetches_selenium — the render stage's fetches: same shape PLUS the
+# screenshot PNG as a DISTINCT artifact from the document payload
+# (SeleniumModel.document + .screenshot, darc/model/web/selenium.py:31-40)
+FETCHES_SELENIUM = T.StructType(
+    FETCHES.fields + [T.StructField("screenshot", T.BinaryType(), True)]
+)
+
 TABLES = {
     "frontier_requests": FRONTIER,
     "frontier_selenium": FRONTIER,
     "hostname_state": HOSTNAME_STATE,
     "url_seen": URL_SEEN,
     "fetches": FETCHES,
-    "fetches_selenium": FETCHES,
+    "fetches_selenium": FETCHES_SELENIUM,
     "edges": EDGES,
     "metrics": METRICS,
     "special_links": SPECIAL_LINKS,

@@ -389,6 +389,23 @@ class SynthWeb:
             base = base.repartition(partitions)
         return base.mapInPandas(gen, IMAGE)
 
+    def render_batch(self, urls: pd.Series) -> pd.DataFrame:
+        """Loader-stage fetch: pages + a rendered screenshot PNG per
+        non-empty HTML page — a DISTINCT artifact from the page payload
+        (darc/crawl.py:333-341 saves both document and screenshot)."""
+        df = self.pages_batch(urls)
+        shots: list[bytes | None] = []
+        for u, ct, html in zip(urls.astype(str), df["content_type"], df["html"]):
+            if isinstance(ct, str) and ct.startswith("text/html") and html:
+                ih = self._h(u, "shot")
+                rng = np.random.default_rng(ih)
+                arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                shots.append(encode_png(arr))
+            else:
+                shots.append(None)
+        df["screenshot"] = shots
+        return df
+
     def pages_batch(self, urls: pd.Series) -> pd.DataFrame:
         rows = [self.page(u) for u in urls.astype(str)]
         df = pd.DataFrame(rows, index=urls.index)

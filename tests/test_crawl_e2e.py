@@ -147,6 +147,34 @@ def test_response_metadata_persisted(crawled):
     assert n_hist > 0, "corpus should include redirect chains"
 
 
+def test_selenium_screenshot_distinct_artifact(crawled):
+    """The render stage stores a screenshot PNG SEPARATE from the page
+    payload (darc/model/web/selenium.py:31-40): deterministic, decodable,
+    and not the same bytes as the document image."""
+    import numpy as np
+
+    from darc_spark.functions.images import decode_png
+
+    crawler, _ = crawled
+    rows = (
+        crawler.store.read("fetches_selenium")
+        .filter(F.col("screenshot").isNotNull())
+        .select("url", "screenshot", "bytes")
+        .collect()
+    )
+    assert rows, "render stage should have produced screenshots"
+    for r in rows[:20]:
+        shot = bytes(r["screenshot"])
+        arr = decode_png(shot)
+        assert arr.shape == (8, 8, 3)
+        # deterministic: re-render yields identical bytes
+        ih = WEB._h(r["url"], "shot")
+        expect = np.random.default_rng(ih).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        assert (arr == expect).all()
+        if r["bytes"] is not None:
+            assert shot != bytes(r["bytes"])
+
+
 def test_kill_resume_equivalence(spark, tmp_path):
     """Run 2 rounds, 'die', resume a fresh Crawler, run 2 more — final
     state equals the uninterrupted 4-round run."""

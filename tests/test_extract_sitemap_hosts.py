@@ -145,3 +145,45 @@ def test_synthweb_sitemapindex_recursion(spark, tmp_path):
     locs0 = {r["loc"] for r in rows if r["sitemap_url"].endswith("-0.xml")}
     locs1 = {r["loc"] for r in rows if r["sitemap_url"].endswith("-1.xml")}
     assert locs0 and locs1 and locs0 != locs1
+
+
+def test_extract_conformance_corpus():
+    """html5lib-parity corpus (darc/parse.py:322-329 contract):
+    commented-out markup and script/style text are NOT elements;
+    <base href> is extracted as a link but NOT used as the join base;
+    malformed/bare attributes still harvest."""
+    page = "http://h.example/dir/page.html"
+    html = """
+    <html><head>
+      <base href="/other/">
+      <!-- <a href="/commented-out">dead</a> -->
+      <style>body { background: url('/style-bg.png'); }</style>
+      <script src="/real-script.js">
+        var fake = '<a href="/script-string">x</a>'; var u = "href=/also-fake";
+      </script>
+    </head><body>
+      <a href="/x">ok</a>
+      <a href = 'single.html'>q</a>
+      <img src=bare.png>
+      <a href="">empty</a>
+    </body></html>"""
+    out = extract_hrefs_one(page, html)
+    assert "http://h.example/commented-out" not in out
+    assert not any("script-string" in u or "also-fake" in u for u in out)
+    assert not any("style-bg" in u for u in out)
+    assert "http://h.example/real-script.js" in out  # the src ATTR survives
+    # base href: extracted as a link, but relative links join page_url
+    assert "http://h.example/other/" in out
+    assert "http://h.example/x" in out
+    assert "http://h.example/dir/single.html" in out
+    assert "http://h.example/dir/bare.png" in out
+    assert page in out  # href="" joins to the page itself (urljoin contract)
+
+
+def test_extract_unclosed_script_keeps_rest():
+    """An unclosed <script> never swallows the rest of the document
+    (the strip regex requires a matching close tag)."""
+    out = extract_hrefs_one(
+        "http://h/", '<script>var x = 1;<a href="/after">a</a>'
+    )
+    assert "http://h/after" in out
