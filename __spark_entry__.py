@@ -514,6 +514,44 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN end-to-end: exact cosine re-rank restricted to the query's
+    LSH bucket (the 10^10-scale path — bucket join replaces full scan)."""
+    from darc_spark.functions.similarity import ann_lsh_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return ann_lsh_topk(emb, qvec, k=5, n_bits=8, dims=64, exclude_id=0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
+    )
+
+
+def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
+    from darc_spark.functions.extract import decode_data_uris
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    uris = docs.filter(F.col("doc_id") < 200).selectExpr(
+        "doc_id",
+        """CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'data:text/plain;base64,QUJD'
+             WHEN 1 THEN 'data:,hello%20world'
+             WHEN 2 THEN 'data:image/png;base64,aVZCT1I='
+             ELSE 'data:text/html,<b>x</b>'
+           END AS url""",
+    )
+    out = decode_data_uris(uris)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "data_mime",
+        "data_is_base64",
+        F.base64(F.col("data_payload")).alias("payload_b64"),
+    )
+
+
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.similarity import hamming_near_pairs
 
@@ -670,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
+        "data_uri_decode": q_data_uri_decode,
         "phash_hamming": q_phash_hamming,
         "crawl_rounds": q_crawl_rounds,
         "robots_rules": q_robots_rules,
@@ -1150,6 +1190,42 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
         "ann_lsh": f"""
 SELECT ({_sig_expr_duck(8, 64)}) AS sig, CAST(count(*) AS BIGINT) AS n_vectors
 FROM embeddings GROUP BY 1
+""",
+        "ann_topk": f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({_sig_expr_duck(8, 64)}) AS sig FROM embeddings
+), q AS (
+  SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0
+), bucket AS (
+  SELECT s.vec_id, s.embedding, q.qv FROM sigs s, q
+  WHERE s.sig = q.qsig AND s.vec_id != 0
+), scored AS (
+  SELECT vec_id,
+         list_reduce(list_transform(range(1, len(embedding)+1),
+             j -> CAST(embedding[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)),
+             (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+                j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                j -> CAST(qv[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)), (a, b) -> a + b))) AS cosine
+  FROM bucket
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+        # hand-derived expected rows per data-URI form (independent of the
+        # engine's regexp/unbase64 path)
+        "data_uri_decode": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'text/plain' WHEN 1 THEN 'text/plain'
+    WHEN 2 THEN 'image/png' ELSE 'text/html' END AS data_mime,
+  CAST(doc_id % 4 AS INT) IN (0, 2) AS data_is_base64,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'QUJD' WHEN 1 THEN 'aGVsbG8gd29ybGQ='
+    WHEN 2 THEN 'aVZCT1I=' ELSE 'PGI+eDwvYj4=' END AS payload_b64
+FROM documents WHERE doc_id < 200
 """,
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole

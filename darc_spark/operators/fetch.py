@@ -176,9 +176,13 @@ def run_fetch(
     #   the last wave. Salting splits hot hosts across `fetch_salt`
     #   shards while batches stay mostly host-local (session reuse).
     spark = claimed.sparkSession
+    # fine-grained fetch tasks (≥12 waves' worth): per-URL work is heavy
+    # and uneven (decode pipelines, page size mix), so the stage ends on
+    # its slowest last-wave task — smaller tasks shrink that straggler
+    # tail, which is what sub-linear N→4N scaling is made of
     n_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        spark.sparkContext.defaultParallelism * 4,
+        spark.sparkContext.defaultParallelism * 12,
     )
     batch = claimed.repartition(
         n_parts,

@@ -108,6 +108,7 @@ class Frontier:
         n_filter_buckets: int = 16,
         filter_kind: str = "cuckoo",
         filter_capacity_per_bucket: int = 1 << 16,
+        broadcast_max_bytes: int = 64 << 20,
     ) -> None:
         self.store = store
         self.stage = stage
@@ -126,6 +127,9 @@ class Frontier:
         self.n_filter_buckets = n_filter_buckets
         self.filter_kind = filter_kind
         self.filter_capacity = filter_capacity_per_bucket
+        # membership-check strategy switch (broadcast vs cogroup) — the
+        # analogue of spark.sql.autoBroadcastJoinThreshold
+        self.broadcast_max_bytes = broadcast_max_bytes
         self._seq_in_version = 0
 
     def _next_seq(self) -> int:
@@ -175,25 +179,88 @@ class Frontier:
     def _split_by_filter(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(definitely_new, maybe_seen) via the per-bucket approx filter.
 
-        Distributed membership check: candidates are shuffled to their
-        filter bucket and cogrouped with that bucket's payload row —
-        the same shape as ``_update_filter``. No filter payload ever
-        reaches the driver or a UDF closure (at 10^10 seen URLs the
-        payloads total ~10 GB; collecting them per enqueue batch was the
-        round-1 scale-killer). Parallelism of this check equals
-        ``n_filter_buckets`` — size it to the cluster at deployment, the
-        way ``spark.sql.shuffle.partitions`` is.
+        ADAPTIVE strategy, the same small/large split Spark applies to
+        joins (broadcast-hash vs shuffle):
 
-        Bucket semantics: no payload row ⇒ definitely new (the filter is
-        authoritative for every key ever enqueued with ``use_filter``);
-        payload None ⇒ bucket saturated, everything stays "maybe" and
-        the exact anti-join decides.
+        * filter table ≤ ``broadcast_max_bytes`` (the common case until
+          the seen set is huge) → :meth:`_check_broadcast`: payloads
+          ship ONCE per executor as a Spark broadcast variable and the
+          check is a no-shuffle pandas UDF over the candidate batch.
+        * larger → :meth:`_check_cogroup`: candidates shuffle to their
+          bucket and meet that bucket's payload row — no payload ever
+          reaches the driver (at 10^10 seen URLs payloads total ~10 GB).
+
+        The strategy probe reads only (bucket, octet_length(payload)) —
+        a handful of rows, never the payloads themselves.
         """
         keyed = candidates.withColumn("_key", F.xxhash64("name")).withColumn(
             "_bucket",
             F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets)).cast("int"),
         )
         current = self.store.read_all(self.t_filter).select("bucket", "payload")
+        meta = current.select(
+            "bucket", F.octet_length("payload").alias("nbytes")
+        ).collect()
+        total_bytes = sum(r["nbytes"] or 0 for r in meta)
+        if len(meta) == 0:
+            # no filter yet: everything definitely new, zero extra jobs
+            plain = keyed.drop("_key", "_bucket")
+            return plain, plain.limit(0)
+        if total_bytes <= self.broadcast_max_bytes:
+            return self._check_broadcast(keyed, current)
+        return self._check_cogroup(keyed, current)
+
+    def _check_broadcast(
+        self, keyed: DataFrame, current: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Small-filter fast path: payloads ride a broadcast VARIABLE
+        (one copy per executor — not a closure capture serialized into
+        every task, the round-1 bug) and the check never shuffles."""
+        spark = keyed.sparkSession
+        filters = {
+            int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
+            for r in current.collect()
+        }
+        bc = spark.sparkContext.broadcast(filters)
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(keys: pd.Series, buckets: pd.Series) -> pd.Series:
+            import numpy as np
+
+            flts = bc.value
+            out = np.empty(len(keys), dtype=bool)
+            kv = keys.to_numpy(dtype="int64").view("uint64")
+            bv = buckets.to_numpy(dtype="int64")
+            for b in np.unique(bv):
+                mask = bv == b
+                if int(b) not in flts:
+                    out[mask] = False  # bucket never written: new
+                    continue
+                payload = flts[int(b)]
+                if payload is None:
+                    out[mask] = True  # saturated: exact join decides
+                    continue
+                out[mask] = load_filter(payload).might_contain(kv[mask])
+            return pd.Series(out, index=keys.index)
+
+        flagged = keyed.withColumn("_maybe", maybe_seen("_key", "_bucket"))
+        new = flagged.filter(~F.col("_maybe")).drop("_key", "_bucket", "_maybe")
+        maybe = flagged.filter(F.col("_maybe")).drop("_key", "_bucket", "_maybe")
+        return new, maybe
+
+    def _check_cogroup(
+        self, keyed: DataFrame, current: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Scale path: bucket-cogroup membership, the same shape as
+        ``_update_filter``. No payload reaches the driver or a closure.
+        Parallelism equals ``n_filter_buckets`` — size it to the cluster
+        at deployment, the way ``spark.sql.shuffle.partitions`` is.
+
+        Bucket semantics: no payload row ⇒ definitely new (the filter is
+        authoritative for every key ever enqueued with ``use_filter``);
+        payload None ⇒ bucket saturated, everything stays "maybe" and
+        the exact anti-join decides.
+        """
         out_schema = T.StructType(
             [f for f in keyed.schema.fields if f.name not in ("_key", "_bucket")]
             + [T.StructField("_maybe", T.BooleanType(), False)]

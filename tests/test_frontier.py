@@ -193,14 +193,34 @@ def test_resume_after_kill(spark, tmp_path):
     assert fr2.pending(1).count() == 2  # the uncommitted lease is invisible
 
 
-def test_membership_check_never_collects_payloads():
-    """The enqueue-path filter check must stay distributed: no driver
-    collect of filter payloads, no closure capture (round-1 scale bug)."""
+def test_membership_check_scale_path_never_collects_payloads():
+    """The SCALE path of the filter check (cogroup) must never collect
+    payloads or capture them in a closure (round-1 scale bug); the
+    dispatcher may only probe octet_length metadata, and the broadcast
+    fast path must use a broadcast VARIABLE, not closure capture."""
     import inspect
 
-    src = inspect.getsource(Frontier._split_by_filter)
+    src = inspect.getsource(Frontier._check_cogroup)
     assert ".collect(" not in src
     assert "cogroup" in src
+    dispatch = inspect.getsource(Frontier._split_by_filter)
+    assert "octet_length" in dispatch  # metadata-only strategy probe
+    bsrc = inspect.getsource(Frontier._check_broadcast)
+    assert ".broadcast(" in bsrc
+
+
+def test_membership_check_cogroup_path_correct(spark, tmp_path):
+    """Forcing the cogroup strategy (broadcast_max_bytes=0) gives the
+    same NX semantics as the default broadcast fast path."""
+    store = SnapshotStore(spark, str(tmp_path / "store"))
+    fr = Frontier(store, "requests", n_filter_buckets=4, broadcast_max_bytes=0)
+    urls = [f"http://h{i % 3}.example/x{i}" for i in range(30)]
+    fr.enqueue_nx(_links(spark, urls), 0)
+    fr.store.commit()
+    fr.enqueue_nx(_links(spark, urls[:15] + ["http://new.example/1"]), 1)
+    fr.store.commit()
+    assert fr.pending(1).count() == 31
+    assert fr.seen().count() == 31
 
 
 def test_filter_saturation_degrades_then_rebuilds(spark, tmp_path):
