@@ -611,6 +611,38 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rules, schema=ROBOTS_RULES)
 
 
+def q_submit_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 value check: run the same crawl as ``crawl_rounds``, render
+    the requests-submission JSON (darc/submit.py:394-603), then parse
+    the fields back OUT of the rendered payload — so the oracle compares
+    what a downstream API consumer would actually read."""
+    import tempfile
+
+    from darc_spark.functions.submit import requests_payloads
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
+    crawler = Crawler(
+        spark,
+        tempfile.mkdtemp(prefix="q_sfield_"),
+        web,
+        CrawlConfig(per_host=4, lease=2, max_retries=1, n_filter_buckets=4),
+    )
+    crawler.seed(web.seeds())
+    crawler.run(2)
+    payloads = requests_payloads(crawler.store.read("fetches"))
+    return payloads.select(
+        F.get_json_object("payload", "$.URL").alias("url"),
+        F.get_json_object("payload", "$.Timestamp").cast("long").alias("fetch_round"),
+        F.get_json_object("payload", "$.Response.StatusCode")
+        .cast("int")
+        .alias("status_code"),
+        F.get_json_object("payload", "$.Document").alias("document_b64"),
+        F.get_json_object("payload", "$.Metadata.base").alias("base"),
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: the input_hint image+caption table (exact schema),
     synthesized distributed, then decode + feature-extract (mapInPandas)."""
@@ -712,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_uri_decode": q_data_uri_decode,
         "phash_hamming": q_phash_hamming,
         "crawl_rounds": q_crawl_rounds,
+        "submit_fields": q_submit_fields,
         "robots_rules": q_robots_rules,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
@@ -784,6 +817,40 @@ def _export_python_oracles() -> None:
             }
         ),
         os.path.join(_ORACLE_DIR, "crawl_rounds.parquet"),
+    )
+
+    # submit_fields: the S11 payload contract field-by-field — URL,
+    # Timestamp, StatusCode, Document (base64), Metadata.base — from the
+    # same simulator run (parsed back out of the rendered JSON on the
+    # Spark side, so the check covers the actual to_json rendering)
+    import base64 as _b64
+
+    from tests.oracle_link import oracle_parse
+
+    sf_rows: list[tuple] = []
+    for (r, hostname, url, status, _is_html, _n) in rows:
+        page = web.page(url)
+        parsed = oracle_parse(url)
+        sf_rows.append(
+            (
+                url,
+                r,
+                status,
+                _b64.b64encode(page["bytes"]).decode() if page["bytes"] else None,
+                f"{parsed['proxy']}/{parsed['scheme']}/{parsed['hostname']}",
+            )
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([x[0] for x in sf_rows], pa.string()),
+                "fetch_round": pa.array([x[1] for x in sf_rows], pa.int64()),
+                "status_code": pa.array([x[2] for x in sf_rows], pa.int32()),
+                "document_b64": pa.array([x[3] for x in sf_rows], pa.string()),
+                "base": pa.array([x[4] for x in sf_rows], pa.string()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "submit_fields.parquet"),
     )
 
     web2 = SynthWeb(seed=42, pages_per_host=60, branching=3)
@@ -1022,6 +1089,11 @@ SELECT CAST(fetch_round AS BIGINT) AS fetch_round, hostname, url,
        CAST(status_code AS INT) AS status_code, is_html,
        CAST(n_links AS INT) AS n_links
 FROM read_parquet('{_ORACLE_DIR}/crawl_rounds.parquet')
+""",
+        "submit_fields": f"""
+SELECT url, CAST(fetch_round AS BIGINT) AS fetch_round,
+       CAST(status_code AS INT) AS status_code, document_b64, base
+FROM read_parquet('{_ORACLE_DIR}/submit_fields.parquet')
 """,
         "sessionize": """
 WITH lagged AS (

@@ -16,8 +16,15 @@ document → base64(bytes); metadata block → the parsed-link columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _b64(col: Column) -> Column:
+    """Unwrapped base64: Spark's ``base64`` chunks with CRLF every 76
+    chars (RFC 2045); the reference uses ``base64.b64encode`` (no
+    wrapping, darc/submit.py) — strip the line breaks for parity."""
+    return F.regexp_replace(F.base64(col), "\r\n", "")
 
 
 def _metadata() -> F.Column:
@@ -68,7 +75,7 @@ def requests_payloads(fetches: DataFrame) -> DataFrame:
                     F.col("history").alias("History"),
                 ).alias("Response"),
                 _metadata().alias("Metadata"),
-                F.base64(F.col("bytes")).alias("Document"),
+                _b64(F.col("bytes")).alias("Document"),
             )
         ).alias("payload"),
     )
@@ -85,8 +92,8 @@ def selenium_payloads(fetches_selenium: DataFrame) -> DataFrame:
                 F.col("fetch_round").alias("Timestamp"),
                 F.col("url").alias("URL"),
                 _metadata().alias("Metadata"),
-                F.base64(F.col("bytes")).alias("Document"),
-                F.base64(F.col("screenshot")).alias("Screenshot"),
+                _b64(F.col("bytes")).alias("Document"),
+                _b64(F.col("screenshot")).alias("Screenshot"),
             )
         ).alias("payload"),
     )
