@@ -552,6 +552,21 @@ def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-banded candidates + exact
+    verify). Threshold 0.35: the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ~0.5), so this exercises the contract with a
+    non-trivial result set."""
+    from darc_spark.functions.similarity import cosine_near_pairs
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.35, n_bits=16, dims=64).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
+    )
+
+
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.similarity import hamming_near_pairs
 
@@ -742,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_topk": q_ann_topk,
         "data_uri_decode": q_data_uri_decode,
+        "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
         "crawl_rounds": q_crawl_rounds,
         "submit_fields": q_submit_fields,
@@ -1298,6 +1314,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
     WHEN 0 THEN 'QUJD' WHEN 1 THEN 'aGVsbG8gd29ybGQ='
     WHEN 2 THEN 'aVZCT1I=' ELSE 'PGI+eDwvYj4=' END AS payload_b64
 FROM documents WHERE doc_id < 200
+""",
+        "cosine_near_pairs": f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, ({_sig_expr_duck(16, 64)}) AS sig FROM embeddings
+), banded AS (
+  SELECT vec_id, b AS band_idx, (sig >> (b * 4)) & 15 AS band_val
+  FROM sigs, (VALUES (0), (1), (2), (3)) t(b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b,
+         list_reduce(list_transform(range(1, len(ea.embedding)+1),
+             j -> CAST(ea.embedding[j] AS DOUBLE) * CAST(eb.embedding[j] AS DOUBLE)),
+             (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(ea.embedding)+1),
+                j -> CAST(ea.embedding[j] AS DOUBLE) * CAST(ea.embedding[j] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(eb.embedding)+1),
+                j -> CAST(eb.embedding[j] AS DOUBLE) * CAST(eb.embedding[j] AS DOUBLE)), (x, y) -> x + y))) AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored WHERE cosine >= 0.35
 """,
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole

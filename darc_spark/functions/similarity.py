@@ -115,6 +115,66 @@ def ann_lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 16,
+    dims: int = 64,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded.
+
+    Contract: pairs that collide in ≥1 signature band AND have exact
+    cosine ≥ ``threshold`` — the standard bucketed near-dup shape
+    (candidates from banding, verification exact). Like all LSH, the
+    banding is the recall knob: near-identical vectors agree on nearly
+    every signature bit, so they collide in nearly every band; the
+    DuckDB oracle mirrors the band expression so the contract is
+    value-checked, and the unit test measures recall vs brute force.
+
+    Scale: bucket sizes are bounded by rows agreeing on a specific
+    ``band_bits``-bit signature slice — never an all-pairs cross join;
+    the exact-cosine verify runs only on candidates.
+    """
+    n_bands = n_bits // band_bits
+    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col)
+    banded = sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).cache()
+    a, b = banded.alias("a"), banded.alias("b")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        norm(F.col(f"a.{vec_col}")) * norm(F.col(f"b.{vec_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def hamming_near_pairs(
     df: DataFrame,
     n_bits: int = 16,

@@ -84,3 +84,30 @@ def test_hamming_band_bucket_bound(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = hamming_near_pairs(emb)._jdf.queryExecution().optimizedPlan().toString()
     assert "band_idx" in plan and "band_val" in plan
+
+
+def test_cosine_near_pairs_contract(spark):
+    """Banded cosine near-dup: every returned pair truly meets the
+    threshold; returned set ⊆ brute-force pairs; recall reported
+    against brute force at a permissive threshold."""
+    from darc_spark.functions.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    V = np.array([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    brute = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.35
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs(emb, threshold=0.35).collect()
+    }
+    assert got, "expected a non-empty near-dup set"
+    assert got <= brute  # no false positives (exact verify)
+    assert len(got) / len(brute) > 0.3  # banding keeps useful recall
