@@ -193,6 +193,22 @@ def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
                 df = queries[name](spark, sf_dir)
                 df.count()  # execute the full plan
                 per_query[name] = round(time.perf_counter() - t0, 3)
+        # untimed mini-crawl: first crawl in a session pays python-worker
+        # module import + codegen for the whole store/fetch path (~6-10%
+        # measured) — exclude it like the query warm-up above
+        from darc_spark.operators.crawl import Crawler, CrawlConfig
+        from darc_spark.sources.synth import SynthWeb
+
+        wroot = tempfile.mkdtemp(prefix="bench_warm_")
+        try:
+            wweb = SynthWeb(seed=3, pages_per_host=50, branching=3)
+            wc = Crawler(
+                spark, wroot, wweb, CrawlConfig(per_host=4, selenium_enabled=True)
+            )
+            wc.seed(wweb.seeds())
+            wc.run(1)
+        finally:
+            shutil.rmtree(wroot, ignore_errors=True)
         crawl = crawl_bench(spark)
         per_query["crawl_3rounds"] = round(crawl["seconds"], 3)
         return {"queries": per_query, "crawl": crawl}
