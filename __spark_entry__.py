@@ -401,9 +401,18 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup. The sf documents table has no exact duplicates, so a
+    bare run is vacuous (0=0 proves nothing); inject deterministic copies
+    of doc_id<10 (mirrored in the oracle) so the digest grouping,
+    n_copies and canonical-id=min choice are actually value-checked."""
     from darc_spark.functions.dedup import exact_dedup
 
     (docs,) = _load(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text").union(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
     return exact_dedup(docs).select(
         "digest",
         F.col("n_copies").cast("long").alias("n_copies"),
@@ -516,14 +525,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN end-to-end: exact cosine re-rank restricted to the query's
-    LSH bucket (the 10^10-scale path — bucket join replaces full scan)."""
+    LSH bucket (the 10^10-scale path — bucket join replaces full scan).
+
+    n_bits=4 (16 buckets over 500 vectors → ~31 per bucket): at n_bits=8
+    the query's bucket was empty and the check was vacuous (0=0 rows)."""
     from darc_spark.functions.similarity import ann_lsh_topk
 
     (emb,) = _load(spark, sf_dir, "embeddings")
     qvec = [
         float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
-    return ann_lsh_topk(emb, qvec, k=5, n_bits=8, dims=64, exclude_id=0).select(
+    return ann_lsh_topk(emb, qvec, k=5, n_bits=4, dims=64, exclude_id=0).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
     )
@@ -621,9 +633,23 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pdf = pd.DataFrame(corpus, columns=["hostname", "text", "status"])
     rules = robots_rules_rows(pdf["hostname"], pdf["text"], pdf["status"])
-    # declared schema: all-None crawl_delay/request_rate columns cannot be
-    # inferred (CANNOT_DETERMINE_TYPE)
-    return spark.createDataFrame(rules, schema=ROBOTS_RULES)
+    # Plain-Python rows: the non-Arrow createDataFrame path re-coerces
+    # pandas nullable Int32 through float64, which the declared
+    # IntegerType rejects (2.0 is not an int). Building tuples with real
+    # ints/None is robust regardless of the session's Arrow setting.
+    rows = [
+        (
+            r.hostname,
+            r.agent,
+            int(r.rule_index),
+            r.path_prefix,
+            bool(r.allow),
+            None if pd.isna(r.crawl_delay) else int(r.crawl_delay),
+            None if pd.isna(r.request_rate) else float(r.request_rate),
+        )
+        for r in rules.itertuples(index=False)
+    ]
+    return spark.createDataFrame(rows, schema=ROBOTS_RULES)
 
 
 def q_submit_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,9 +1205,14 @@ WITH ranked AS (
 SELECT bucket, o_orderkey, price_e2, rank FROM ranked WHERE rank <= 3
 """,
         "dedup_exact": """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10
+)
 SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS canonical_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM docs2 GROUP BY 1 HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _duck_minhash_sig(4)
         + """
@@ -1281,7 +1312,7 @@ FROM embeddings GROUP BY 1
 """,
         "ann_topk": f"""
 WITH sigs AS (
-  SELECT vec_id, embedding, ({_sig_expr_duck(8, 64)}) AS sig FROM embeddings
+  SELECT vec_id, embedding, ({_sig_expr_duck(4, 64)}) AS sig FROM embeddings
 ), q AS (
   SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0
 ), bucket AS (

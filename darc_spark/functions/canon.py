@@ -160,18 +160,25 @@ def classify_batch(urls: pd.Series) -> pd.DataFrame:
     proxy[i2p] = "i2p"
     undecided &= ~i2p
 
-    root_path = path.isin(["", "/"])
-    first_seg = path.str.extract(r"^/+([^/]+)", expand=False)
+    # First *meaningful* path segment, with PurePosixPath semantics
+    # (reference: PosixPath(path).parts[1], darc/link.py:380): duplicate
+    # slashes collapse and "." segments are skipped, so root-equivalent
+    # paths ("", "/", "//", "/./") classify as null instead of crashing
+    # (the reference IndexErrors on "//"; defined here as root → null).
+    # lookahead keeps backtracking from capturing a bare "." segment
+    first_seg = path.str.extract(
+        r"^/+(?:\.(?:/+|$))*((?!\.(?:/|$))[^/]+)", expand=False
+    )
 
     zn = undecided & hs.isin(_ZERONET_HOSTS)
-    zn_site = zn & ~root_path & first_seg.notna()
+    zn_site = zn & first_seg.notna()
     proxy[zn & ~zn_site] = "null"
     proxy[zn_site] = "zeronet"
     hostname[zn_site] = first_seg[zn_site].astype(object)
     undecided &= ~zn
 
     fn = undecided & hs.isin(_FREENET_HOSTS)
-    fn_site = fn & ~root_path & first_seg.notna()
+    fn_site = fn & first_seg.notna()
     proxy[fn & ~fn_site] = "null"
     proxy[fn_site] = "freenet"
     hostname[fn_site] = first_seg[fn_site].astype(object)

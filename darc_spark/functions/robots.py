@@ -226,7 +226,7 @@ def robots_rules_rows(
                                 "request_rate": entry.request_rate,
                             }
                         )
-    return pd.DataFrame(
+    df = pd.DataFrame(
         out,
         columns=[
             "hostname",
@@ -237,6 +237,17 @@ def robots_rules_rows(
             "crawl_delay",
             "request_rate",
         ],
+    )
+    # Pin dtypes: pandas infers int+None as float64, which the declared
+    # IntegerType rejects at createDataFrame (2.0 is not an int). Nullable
+    # Int32 round-trips through Arrow and schema verification cleanly.
+    return df.astype(
+        {
+            "rule_index": "int32",
+            "allow": "bool",
+            "crawl_delay": "Int32",
+            "request_rate": "float64",
+        }
     )
 
 

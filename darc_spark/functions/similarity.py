@@ -35,8 +35,11 @@ def plane(i: int, dims: int) -> list[float]:
 
 
 def dot(a: Column, b: Column) -> Column:
+    # Cast elements to double BEFORE multiplying: float32×float32 products
+    # summed into a double diverge from per-element-double oracles (DuckDB
+    # casts each element to DOUBLE first) at the 1e-6 rounding boundary.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -135,14 +138,17 @@ def cosine_near_pairs(
     value-checked, and the unit test measures recall vs brute force.
 
     Scale: bucket sizes are bounded by rows agreeing on a specific
-    ``band_bits``-bit signature slice — never an all-pairs cross join;
-    the exact-cosine verify runs only on candidates.
+    ``band_bits``-bit signature slice — never an all-pairs cross join.
+    The band self-join carries **ids only** (like
+    :func:`hamming_near_pairs`); embeddings are re-joined by id after the
+    candidate set is deduplicated, so the candidate shuffle never ships
+    vector payloads (×n_bands) and the exact-cosine verify runs once per
+    distinct pair.
     """
     n_bands = n_bits // band_bits
-    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col)
+    sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(id_col, "sig")
     banded = sigs.select(
         id_col,
-        vec_col,
         F.posexplode(
             F.array(
                 *[
@@ -153,12 +159,9 @@ def cosine_near_pairs(
                 ]
             )
         ).alias("band_idx", "band_val"),
-    ).cache()
+    ).cache()  # feeds both sides of the self-join
     a, b = banded.alias("a"), banded.alias("b")
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        norm(F.col(f"a.{vec_col}")) * norm(F.col(f"b.{vec_col}"))
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -168,10 +171,24 @@ def cosine_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
         )
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    vecs = df.select(id_col, vec_col)
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_vec_a")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b")
+    )
+    cos = dot(F.col("_vec_a"), F.col("_vec_b")) / (
+        norm(F.col("_vec_a")) * norm(F.col("_vec_b"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
-        .distinct()
     )
 
 

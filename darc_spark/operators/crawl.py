@@ -79,6 +79,10 @@ class CrawlConfig:
     # result-identical for any threshold, so on by default
     escalate_above: int | None = 1 << 16
     robots_enabled: bool = True  # FORCE=0 (darc/const.py)
+    # hostname-gate lease (darc TIME_CACHE, darc/db.py:293-318): hosts whose
+    # last robots/sitemap/hosts.txt fetch is older than this many rounds are
+    # force-refetched on next claim. None = never (reference TIME_CACHE=None).
+    time_cache_rounds: int | None = None
     user_agent: str = "darc-spark"
     seconds_per_round: int = 1  # maps robots Crawl-delay seconds → rounds
     selenium_enabled: bool = True
@@ -153,7 +157,17 @@ class Crawler:
         )
 
     def _robots_delays(self) -> DataFrame | None:
-        docs = self.store.read("robots_docs")
+        # latest doc per host: TIME_CACHE force-refetch appends a new row
+        # per re-fetch, and a duplicate hostname here would fan out the
+        # claim join
+        docs = (
+            self.store.read("robots_docs")
+            .groupBy("hostname")
+            .agg(
+                F.max_by("text", "fetch_round").alias("text"),
+                F.max_by("status_code", "fetch_round").alias("status_code"),
+            )
+        )
         ua, spr = self.cfg.user_agent, self.cfg.seconds_per_round
 
         def derive(pdf_iter):
@@ -184,15 +198,30 @@ class Crawler:
         kept_acc: list[DataFrame],
         special_acc: list[DataFrame],
     ) -> DataFrame | None:
-        """robots/sitemap/hosts.txt for first-seen hosts (darc/crawl.py:141-166).
+        """robots/sitemap/hosts.txt for first-seen OR expired hosts
+        (darc/crawl.py:141-166 gated by have_hostname, darc/db.py:293-318).
 
-        Returns this round's fresh robots docs (also appended to the store)
-        so the robots gate sees them before commit.
+        "Expired" is the TIME_CACHE lease: the last actual robots fetch
+        (max ``fetch_round`` in robots_docs — bumped only on fetch, like
+        the reference's redis score) is older than
+        ``cfg.time_cache_rounds``. Returns this round's fresh robots docs
+        (also appended to the store) so the robots gate sees them before
+        commit.
         """
         hosts = batch.select("hostname", "proxy").dropDuplicates(["hostname"])
-        known = self._hostname_state().select("hostname")
+        last_fetch = (
+            self.store.read_all("robots_docs")
+            .groupBy("hostname")
+            .agg(F.max("fetch_round").alias("_lf"))
+        )
+        stale = F.col("_lf").isNull()  # never fetched ⇒ new host
+        if self.cfg.time_cache_rounds is not None:
+            stale = stale | (F.col("_lf") < F.lit(r - self.cfg.time_cache_rounds))
         new_hosts = self.store.write_scratch(
-            "new_hosts", hosts.join(known, "hostname", "left_anti")
+            "new_hosts",
+            hosts.join(last_fetch, "hostname", "left")
+            .filter(stale)
+            .select("hostname", "proxy"),
         )
         # hostname_state: first_seen for new, last_fetch bump for all claimed
         self.store.append(

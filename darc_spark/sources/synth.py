@@ -62,6 +62,11 @@ class SynthWeb:
         self.branching = branching
         self.hot_share = hot_share
         self.heavy_decode_px = heavy_decode_px
+        # test hook: host → (status, text) served INSTEAD of the derived
+        # robots.txt; mutated between rounds to exercise the TIME_CACHE
+        # force-refetch lease (closures re-ship per round, so updates
+        # propagate to executors)
+        self.robots_override: dict[str, tuple[int, str]] = {}
 
     # -- hashing --------------------------------------------------------------
     def _h(self, *parts: object) -> int:
@@ -100,6 +105,8 @@ class SynthWeb:
     # -- per-host artifacts -----------------------------------------------------
     def robots_txt(self, host: str) -> tuple[int, str]:
         """(status_code, text) — even-indexed hosts ship robots rules."""
+        if host in self.robots_override:
+            return self.robots_override[host]
         idx = self.hosts.index(host) if host in self.hosts else -1
         if idx < 0 or idx % 2 == 1:
             return 404, ""

@@ -117,6 +117,7 @@ class SimCrawler:
         self.fr_sel = SimFrontier()
         self.hostname_state: dict[str, int] = {}  # host → last_fetch_round
         self.known_hosts: set[str] = set()
+        self.robots_fetch_round: dict[str, int] = {}  # host → last robots fetch
         self.robots: dict[str, tuple[int, str]] = {}
         # (round, hostname, url, status, is_html, n_links) — n_links
         # matches the engine's fetches.n_links (size of the extracted
@@ -218,11 +219,16 @@ class SimCrawler:
         hosts = {}
         for _, rec in batch:
             hosts.setdefault(rec.hostname, rec.proxy)
+        tc = self.cfg.time_cache_rounds
         for h, proxy in sorted(hosts.items()):
             self.hostname_state[h] = r
             if h in self.known_hosts:
-                continue
+                # TIME_CACHE force-refetch: lease keyed on the last ACTUAL
+                # robots fetch, bumped only on fetch (darc/db.py:293-318)
+                if tc is None or self.robots_fetch_round.get(h, r) >= r - tc:
+                    continue
             self.known_hosts.add(h)
+            self.robots_fetch_round[h] = r
             status, text = self.web.robots_txt(h)
             self.robots[h] = (status, text)
             if proxy not in ("zeronet", "freenet"):

@@ -61,19 +61,23 @@ def oracle_parse(url: str) -> dict:
     elif re.fullmatch(r".*?\.i2p", host) or host in I2P:
         proxy = "i2p"
     elif host in ZERONET:
-        if parse.path in ("", "/"):
+        # PurePosixPath collapses duplicate slashes and "." segments;
+        # drop the absolute-path anchor ("/" or "//"). Root-equivalent
+        # paths ("", "/", "//", "/./") → null (the reference crashes on
+        # "//", darc/link.py:380 — defined here as root → null).
+        segs = [p for p in PurePosixPath(parse.path).parts if p not in ("/", "//")]
+        if not segs:
             proxy = "null"
         else:
             proxy = "zeronet"
-            parts = PurePosixPath(parse.path).parts
-            hostname = parts[1] if len(parts) > 1 else hostname
+            hostname = segs[0]
     elif host in FREENET:
-        if parse.path in ("", "/"):
+        segs = [p for p in PurePosixPath(parse.path).parts if p not in ("/", "//")]
+        if not segs:
             proxy = "null"
         else:
             proxy = "freenet"
-            parts = PurePosixPath(parse.path).parts
-            hostname = parts[1] if len(parts) > 1 else hostname
+            hostname = segs[0]
     else:
         proxy = "null"
 

@@ -8,7 +8,7 @@ never throw (darc's never-throw contract, darc/link.py:40-152).
 from __future__ import annotations
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from darc_spark.functions.canon import classify_batch
@@ -44,6 +44,14 @@ adversarial = st.text(max_size=40)
 
 @settings(max_examples=400, deadline=None)
 @given(structured_url | adversarial)
+# regression pins: root-equivalent zeronet/freenet paths (the reference
+# IndexErrors on "//"; contract is root → null) and "."-segment collapse
+@example("http://localhost:43110//")
+@example("http://127.0.0.1:8888///")
+@example("http://localhost:43110/./")
+@example("http://localhost:43110/./site/x")
+@example("http://127.0.0.1:8888/.././x")
+@example("http://localhost:43110/..")
 def test_classifier_matches_oracle_fuzz(url: str) -> None:
     got = classify_batch(pd.Series([url])).iloc[0]
     want = oracle_parse(url)

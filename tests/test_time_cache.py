@@ -1,0 +1,105 @@
+"""TIME_CACHE hostname-gate force-refetch (darc/db.py:293-318, consumed
+at darc/crawl.py:141-166): hosts whose last robots/sitemap/hosts.txt
+fetch is older than the lease are re-fetched on next claim, and a
+changed robots.txt takes effect after expiry — engine and simulator
+agree round-for-round while the policy flips mid-run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from darc_spark.operators.crawl import Crawler, CrawlConfig
+from darc_spark.sources.synth import SynthWeb
+from tests.oracle_crawler import SimCrawler
+
+CFG = CrawlConfig(
+    per_host=4,
+    lease=2,
+    max_retries=0,
+    revisit=2,  # fetched pages recycle, so hosts keep being claimed
+    time_cache_rounds=2,
+    selenium_enabled=False,
+    n_filter_buckets=4,
+)
+
+DISALLOW_ALL = (200, "User-agent: *\nDisallow: /\n")
+
+
+def _run_with_flip(crawler, web: SynthWeb, host: str, flip_round: int, rounds: int):
+    """Drive round-by-round, flipping the host's robots at flip_round."""
+    for r in range(rounds):
+        if r == flip_round:
+            web.robots_override[host] = DISALLOW_ALL
+        crawler.run_round()
+    web.robots_override.clear()
+
+
+def test_time_cache_engine_sim_equivalence(spark, tmp_path):
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+    rounds, flip = 6, 2
+
+    crawler = Crawler(spark, str(tmp_path / "tc"), web, CFG)
+    crawler.seed(web.seeds())
+    _run_with_flip(crawler, web, host, flip, rounds)
+
+    sim = SimCrawler(web, CFG)
+    sim.seed(web.seeds())
+    _run_with_flip(sim, web, host, flip, rounds)
+
+    engine_fetches = {
+        (
+            r["fetch_round"],
+            r["hostname"],
+            r["url"],
+            r["status_code"],
+            r["is_html"],
+            r["n_links"],
+        )
+        for r in crawler.store.read("fetches")
+        .select("fetch_round", "hostname", "url", "status_code", "is_html", "n_links")
+        .collect()
+    }
+    assert engine_fetches == set(sim.fetches)
+    engine_seen = {r["name"] for r in crawler.fr_req.seen().select("name").collect()}
+    assert engine_seen == sim.fr_req.seen
+
+    # the lease actually re-fetched: ≥2 robots docs for the flipped host,
+    # and the refreshed policy is the disallow-all text
+    docs = (
+        crawler.store.read("robots_docs")
+        .filter(F.col("hostname") == host)
+        .orderBy("fetch_round")
+        .collect()
+    )
+    assert len(docs) >= 2, "TIME_CACHE never re-fetched robots"
+    assert "Disallow: /\n" in docs[-1]["text"]
+
+    # ... and it GATES: after the re-fetch round every fetch on that host
+    # is root-only (path "/" bypasses robots per the engine contract)
+    refetch_round = docs[-1]["fetch_round"]
+    late = [
+        f for f in engine_fetches if f[1] == host and f[0] > refetch_round
+    ]
+    assert all(f[2].rstrip("/").endswith(host) for f in late), late
+
+
+def test_no_refetch_without_lease(spark, tmp_path):
+    """time_cache_rounds=None (default) preserves fetch-once semantics."""
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+    cfg = CrawlConfig(
+        per_host=4,
+        lease=2,
+        max_retries=0,
+        revisit=2,
+        selenium_enabled=False,
+        n_filter_buckets=4,
+    )
+    crawler = Crawler(spark, str(tmp_path / "no_tc"), web, cfg)
+    crawler.seed(web.seeds())
+    _run_with_flip(crawler, web, host, 2, 5)
+    docs = (
+        crawler.store.read("robots_docs").filter(F.col("hostname") == host).collect()
+    )
+    assert len(docs) == 1, "robots re-fetched despite no TIME_CACHE lease"
