@@ -127,9 +127,22 @@ def run_fetch(
                         pages.loc[mask, col] = res[col].to_numpy()
             out = pdf[_PASS_THROUGH].reset_index(drop=True)
             pages = pages.reset_index(drop=True)
-            ct = pages["content_type"].fillna("").str.lower().str.split(";").str[0].str.strip()
-            is_html = ct.isin(_HTML_TYPES)
             html = pages["html"].fillna("")
+            raw_ct = pages["content_type"]
+            # missing Content-Type header → body sniff (get_content_type,
+            # darc/parse.py:276-302); cold path, runs on the missing
+            # subset only
+            missing = raw_ct.isna() | (raw_ct.astype("string").str.strip().fillna("") == "")
+            if bool(missing.any()):
+                from darc_spark.functions.sniff import sniff_mime
+
+                raw_ct = raw_ct.copy()
+                raw_ct[missing] = sniff_mime(
+                    html[missing],
+                    pages["bytes"][missing] if "bytes" in pages.columns else None,
+                )
+            ct = raw_ct.fillna("").str.lower().str.split(";").str[0].str.strip()
+            is_html = ct.isin(_HTML_TYPES)
             out["status_code"] = pages["status_code"]
             out["content_type"] = ct
             # response metadata (headers/cookies/redirect history) — dict/

@@ -215,13 +215,28 @@ class Frontier:
     ) -> tuple[DataFrame, DataFrame]:
         """Small-filter fast path: payloads ride a broadcast VARIABLE
         (one copy per executor — not a closure capture serialized into
-        every task, the round-1 bug) and the check never shuffles."""
+        every task, the round-1 bug) and the check never shuffles.
+
+        The broadcast is cached keyed by the filter table's segment set
+        and the stale one unpersisted on rebuild — otherwise every
+        enqueue_nx call would leak a new broadcast's blocks on driver
+        and executors for the life of a long crawl."""
         spark = keyed.sparkSession
-        filters = {
-            int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
-            for r in current.collect()
-        }
-        bc = spark.sparkContext.broadcast(filters)
+        token = self.store.version_token(self.t_filter)
+        cached = getattr(self, "_bc_filter", None)
+        if cached is not None and cached[0] == token:
+            bc = cached[1]
+        else:
+            if cached is not None:
+                # async executor-side delete; a late re-execution would
+                # transparently re-fetch from the driver
+                cached[1].unpersist()
+            filters = {
+                int(r["bucket"]): bytes(r["payload"]) if r["payload"] is not None else None
+                for r in current.collect()
+            }
+            bc = spark.sparkContext.broadcast(filters)
+            self._bc_filter = (token, bc)
 
         @F.pandas_udf("boolean")
         def maybe_seen(keys: pd.Series, buckets: pd.Series) -> pd.Series:

@@ -77,6 +77,10 @@ def register_hooks(fn: Callable[..., Any]) -> None:
 
 # signum → registered handlers, dispatched in order by _generic_handler
 SIGNAL_REGISTRY: dict[int, list[Callable[..., Any]]] = defaultdict(list)
+# signum → the pre-registry disposition, captured when _generic_handler is
+# first installed; later register_signal calls return THIS (the reference's
+# signal.signal contract), never _generic_handler itself
+_ORIGINAL_DISPOSITION: dict[int, Any] = {}
 
 
 def _generic_handler(signum: int, frame: Any) -> None:
@@ -92,15 +96,22 @@ def register_signal(
 ) -> Any:
     """Register a driver-side signal handler (cf. ``darc/signal.py:35-63``).
 
-    Returns the previous :func:`signal.signal` disposition, like the
-    reference. Handlers receive ``(signum, frame)``.
+    Returns the pre-registry :func:`signal.signal` disposition, like the
+    reference — installing :func:`_generic_handler` only once per signum
+    so a second registration doesn't observe (and hand back) the
+    registry's own dispatcher as "previous". Handlers receive
+    ``(signum, frame)``.
     """
     sigint = int(getattr(signum, "value", signum))
     if _index is None:
         SIGNAL_REGISTRY[sigint].append(handler)
     else:
         SIGNAL_REGISTRY[sigint].insert(_index, handler)
-    return _signal.signal(sigint, _generic_handler)
+    if _signal.getsignal(sigint) is not _generic_handler:
+        # first install — or someone re-bound the signal after us, in
+        # which case THEIR handler is the new pre-registry disposition
+        _ORIGINAL_DISPOSITION[sigint] = _signal.signal(sigint, _generic_handler)
+    return _ORIGINAL_DISPOSITION[sigint]
 
 
 def graceful_stop_handler(crawler: Any) -> Callable[..., Any]:

@@ -93,6 +93,17 @@ class SnapshotStore:
     def segments(self, table: str) -> list[str]:
         return list(self._tables.get(table, []))
 
+    def version_token(self, table: str) -> tuple:
+        """Hashable identity of the table's visible segment set
+        (committed + staged) — a cache key for derived artifacts
+        (e.g. a broadcast of the filter payloads) that must be rebuilt
+        exactly when the table changes."""
+        return (
+            tuple(self._tables.get(table, ())),
+            tuple(self._staged_appends.get(table, ())),
+            tuple(self._staged_replace.get(table, ())),
+        )
+
     def read(self, table: str) -> DataFrame:
         """Snapshot read: union of the committed segments of ``table``."""
         segs = self.segments(table)

@@ -166,3 +166,34 @@ def test_register_signal_graceful_stop(spark, tmp_path):
         SIGNAL_REGISTRY.pop(int(signal.SIGUSR1), None)
     assert len(metrics) == 2  # rounds 0 and 1; signal stopped the loop
     assert crawler.store.latest_meta()["round"] == 1  # committed, not torn
+
+
+def test_register_signal_returns_original_disposition():
+    """A second registration for the same signum returns the PRE-registry
+    disposition, not the registry's own dispatcher (darc/signal.py:35-63
+    signal.signal contract)."""
+    import signal
+
+    from darc_spark.registry import (
+        SIGNAL_REGISTRY,
+        _generic_handler,
+        register_signal,
+    )
+
+    def h1(signum, frame):
+        pass
+
+    def h2(signum, frame):
+        pass
+
+    before = signal.getsignal(signal.SIGUSR2)
+    try:
+        prev1 = register_signal(signal.SIGUSR2, h1)
+        prev2 = register_signal(signal.SIGUSR2, h2)
+        assert prev1 is before
+        assert prev2 is before  # NOT _generic_handler
+        assert prev2 is not _generic_handler
+        assert SIGNAL_REGISTRY[int(signal.SIGUSR2)] == [h1, h2]
+    finally:
+        signal.signal(signal.SIGUSR2, before)
+        SIGNAL_REGISTRY.pop(int(signal.SIGUSR2), None)
