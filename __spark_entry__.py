@@ -686,12 +686,29 @@ def q_submit_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: the input_hint image+caption table (exact schema),
-    synthesized distributed, then decode + feature-extract (mapInPandas)."""
+    synthesized distributed, then decode + feature-extract (mapInPandas).
+    Value-checked against a driver-side enumeration of the same seeded
+    payloads (decode is a pure function of the seed); floats compared at
+    e6 rounding like every other float oracle."""
     from darc_spark.functions.multimodal import image_features
     from darc_spark.sources.synth import SynthWeb
 
     imgs = SynthWeb(seed=42).image_table(spark, n=256)
-    return image_features(imgs)
+
+    def e6(c: str) -> F.Column:
+        return F.floor(F.col(c) * 1000000 + 0.5).cast("long").alias(f"{c}_e6")
+
+    return image_features(imgs).select(
+        "image_id",
+        F.col("dec_w").cast("int").alias("dec_w"),
+        F.col("dec_h").cast("int").alias("dec_h"),
+        e6("mean_r"),
+        e6("mean_g"),
+        e6("mean_b"),
+        e6("brightness"),
+        F.col("phash").cast("long").alias("phash"),
+        "decode_error",
+    )
 
 
 def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,6 +946,56 @@ def _export_python_oracles() -> None:
         ),
         os.path.join(_ORACLE_DIR, "fetch_headers.parquet"),
     )
+
+    # image_features: driver-side enumeration of the same seeded image
+    # payloads q_image_features generates distributed — decode +
+    # features are pure functions of (seed, i), so this is the expected
+    # output modulo the Arrow/mapInPandas plumbing being checked
+    from darc_spark.functions.multimodal import fake_decode_frame, image_feature_row
+
+    iweb = SynthWeb(seed=42)
+    feats = []
+    for i in range(256):
+        r = iweb.image_row(i)
+        feats.append(image_feature_row(r["image_id"], r["bytes"], r["fmt"]))
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([f["image_id"] for f in feats], pa.string()),
+                "dec_w": pa.array([f["dec_w"] for f in feats], pa.int32()),
+                "dec_h": pa.array([f["dec_h"] for f in feats], pa.int32()),
+                "mean_r": pa.array([f["mean_r"] for f in feats], pa.float64()),
+                "mean_g": pa.array([f["mean_g"] for f in feats], pa.float64()),
+                "mean_b": pa.array([f["mean_b"] for f in feats], pa.float64()),
+                "brightness": pa.array(
+                    [f["brightness"] for f in feats], pa.float64()
+                ),
+                "phash": pa.array([f["phash"] for f in feats], pa.int64()),
+                "decode_error": pa.array(
+                    [f["decode_error"] for f in feats], pa.string()
+                ),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "image_features.parquet"),
+    )
+
+    # frame_sample: the deterministic fake decoder enumerated driver-side
+    # over the same 16 payloads q_frame_sample builds
+    fr = []
+    for i in range(16):
+        payload = bytes(f"payload-{i}".encode() * 10)
+        for idx in range(3):
+            fr.append((f"vid{i}", idx, len(fake_decode_frame(payload, idx))))
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([x[0] for x in fr], pa.string()),
+                "frame_index": pa.array([x[1] for x in fr], pa.int32()),
+                "frame_len": pa.array([x[2] for x in fr], pa.int32()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "frame_sample.parquet"),
+    )
     _ORACLE_EXPORTED = True
 
 
@@ -1136,6 +1203,22 @@ FROM read_parquet('{_ORACLE_DIR}/crawl_rounds.parquet')
 SELECT url, CAST(fetch_round AS BIGINT) AS fetch_round,
        CAST(status_code AS INT) AS status_code, document_b64, base
 FROM read_parquet('{_ORACLE_DIR}/submit_fields.parquet')
+""",
+        # expected features of the seeded payloads, enumerated driver-side
+        # (pure function of the seed); same e6 rounding as the engine query
+        "image_features": f"""
+SELECT image_id, CAST(dec_w AS INT) AS dec_w, CAST(dec_h AS INT) AS dec_h,
+       CAST(floor(mean_r * 1000000 + 0.5) AS BIGINT) AS mean_r_e6,
+       CAST(floor(mean_g * 1000000 + 0.5) AS BIGINT) AS mean_g_e6,
+       CAST(floor(mean_b * 1000000 + 0.5) AS BIGINT) AS mean_b_e6,
+       CAST(floor(brightness * 1000000 + 0.5) AS BIGINT) AS brightness_e6,
+       CAST(phash AS BIGINT) AS phash, decode_error
+FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
+""",
+        "frame_sample": f"""
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       CAST(frame_len AS INT) AS frame_len
+FROM read_parquet('{_ORACLE_DIR}/frame_sample.parquet')
 """,
         "sessionize": """
 WITH lagged AS (

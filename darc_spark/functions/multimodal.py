@@ -42,6 +42,42 @@ IMAGE_FEATURES = T.StructType(
 )
 
 
+def image_feature_row(iid: object, data: object, fmt: object) -> dict:
+    """Pure per-image feature computation (shared by the distributed
+    operator below and the driver-side oracle export, which enumerates
+    the seeded payloads directly — the value check then covers the
+    Arrow binary transfer and mapInPandas plumbing)."""
+    row = {
+        "image_id": iid,
+        "dec_w": None,
+        "dec_h": None,
+        "mean_r": None,
+        "mean_g": None,
+        "mean_b": None,
+        "brightness": None,
+        "phash": None,
+        "decode_error": None,
+    }
+    try:
+        arr = decode_image(bytes(data), fmt)
+        means = arr.reshape(-1, 3).mean(axis=0)
+        row.update(
+            dec_w=int(arr.shape[1]),
+            dec_h=int(arr.shape[0]),
+            mean_r=float(means[0]),
+            mean_g=float(means[1]),
+            mean_b=float(means[2]),
+            brightness=float(means.mean()),
+        )
+    except NotImplementedError as exc:
+        row["decode_error"] = f"stub: {exc}"
+    except Exception as exc:  # noqa: BLE001 - never-throw contract
+        row["decode_error"] = f"{type(exc).__name__}: {exc}"
+    else:
+        row["phash"] = phash64(arr)
+    return row
+
+
 def image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Decode + feature-extract per image, Arrow-batched.
 
@@ -52,37 +88,10 @@ def image_features(df: DataFrame, id_col: str = "image_id") -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for iid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                row = {
-                    "image_id": iid,
-                    "dec_w": None,
-                    "dec_h": None,
-                    "mean_r": None,
-                    "mean_g": None,
-                    "mean_b": None,
-                    "brightness": None,
-                    "phash": None,
-                    "decode_error": None,
-                }
-                try:
-                    arr = decode_image(bytes(data), fmt)
-                    means = arr.reshape(-1, 3).mean(axis=0)
-                    row.update(
-                        dec_w=int(arr.shape[1]),
-                        dec_h=int(arr.shape[0]),
-                        mean_r=float(means[0]),
-                        mean_g=float(means[1]),
-                        mean_b=float(means[2]),
-                        brightness=float(means.mean()),
-                    )
-                except NotImplementedError as exc:
-                    row["decode_error"] = f"stub: {exc}"
-                except Exception as exc:  # noqa: BLE001 - never-throw contract
-                    row["decode_error"] = f"{type(exc).__name__}: {exc}"
-                else:
-                    row["phash"] = phash64(arr)
-                rows.append(row)
+            rows = [
+                image_feature_row(iid, data, fmt)
+                for iid, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"])
+            ]
             out = pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES.fields])
             out["phash"] = pd.array(
                 [r["phash"] for r in rows], dtype="Int64"
@@ -143,24 +152,28 @@ FRAMES = T.StructType(
 )
 
 
+def fake_decode_frame(payload: bytes, index: int) -> bytes:
+    """DETERMINISTIC FAKE frame decode (module-level so the oracle
+    export can enumerate it driver-side): seed from sha256(payload)."""
+    seed = int.from_bytes(
+        hashlib.sha256(payload + index.to_bytes(4, "little")).digest()[:8], "little"
+    )
+    rng = np.random.default_rng(seed)
+    return encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+
+
 def sample_frames(
     df: DataFrame, n_frames: int = 3, id_col: str = "media_id", bytes_col: str = "bytes"
 ) -> DataFrame:
     """Video frame sampling — DETERMINISTIC FAKE decoder.
 
     No video library ships in this container; a real deployment swaps
-    ``_fake_decode_frame`` for pyav/ffmpeg. The fake derives each frame
-    seed from sha256(payload) so results are stable and testable; the
-    distributed shape (one media row → n frame rows, binary out) is the
-    real contract.
+    :func:`fake_decode_frame` for pyav/ffmpeg. The fake derives each
+    frame seed from sha256(payload) so results are stable and testable;
+    the distributed shape (one media row → n frame rows, binary out) is
+    the real contract.
     """
-
-    def _fake_decode_frame(payload: bytes, index: int) -> bytes:
-        seed = int.from_bytes(
-            hashlib.sha256(payload + index.to_bytes(4, "little")).digest()[:8], "little"
-        )
-        rng = np.random.default_rng(seed)
-        return encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    _fake_decode_frame = fake_decode_frame
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -352,6 +352,28 @@ class SynthWeb:
         side = 16 + int(ih % 3) * 8
         return rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
 
+    def image_row(self, i: int) -> dict:
+        """One input_hint image row — a pure function of (seed, i), so
+        the driver-side oracle export can enumerate the exact payloads
+        the distributed :meth:`image_table` generates."""
+        from darc_spark.functions.images import encode_lossy, encode_png, phash64
+
+        ih = self._h("imgtable", i)
+        rng = np.random.default_rng(ih)
+        side = 16 + (ih % 3) * 8
+        arr = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+        lossy = (ih >> 8) % 2 == 0
+        words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
+        return {
+            "image_id": f"img{i:08d}",
+            "bytes": encode_lossy(arr) if lossy else encode_png(arr),
+            "w": side,
+            "h": side,
+            "fmt": "qpng" if lossy else "png",
+            "caption": " ".join(words),
+            "phash": phash64(arr),
+        }
+
     def image_table(self, spark, n: int = 1000, partitions: int | None = None):
         """The BASELINE.json input table, exactly the input_hint shape:
         ``(image_id string, bytes binary, w int, h int, fmt string,
@@ -363,30 +385,11 @@ class SynthWeb:
         from darc_spark.functions.images import encode_lossy, encode_png, phash64
         from darc_spark.schema import IMAGE
 
-        seed = self.seed
+        image_row = self.image_row
 
         def gen(batches):
             for pdf in batches:
-                rows = []
-                for i in pdf["id"]:
-                    i = int(i)
-                    ih = self._h("imgtable", i)
-                    rng = np.random.default_rng(ih)
-                    side = 16 + (ih % 3) * 8
-                    arr = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
-                    lossy = (ih >> 8) % 2 == 0
-                    words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
-                    rows.append(
-                        {
-                            "image_id": f"img{i:08d}",
-                            "bytes": encode_lossy(arr) if lossy else encode_png(arr),
-                            "w": side,
-                            "h": side,
-                            "fmt": "qpng" if lossy else "png",
-                            "caption": " ".join(words),
-                            "phash": phash64(arr),
-                        }
-                    )
+                rows = [image_row(int(i)) for i in pdf["id"]]
                 out = pd.DataFrame(rows, columns=[f.name for f in IMAGE.fields])
                 out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
                 yield out
