@@ -732,6 +732,40 @@ def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return requests_payloads(crawler.store.read("fetches"))
 
 
+def _audio_payloads() -> list[tuple[str, bytes]]:
+    """Deterministic audio clip corpus shared by the Spark query and the
+    driver-side oracle enumeration."""
+    return [
+        (f"aud{i:04d}", (b"clip-%d " % i) * (20 + i % 7)) for i in range(64)
+    ]
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: audio decode (deterministic fake) + RMS/peak/ZCR
+    features over an opaque binary column; value-checked against the
+    driver-side enumeration of the same payloads."""
+    from darc_spark.functions.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(m, bytearray(p)) for m, p in _audio_payloads()],
+        "media_id string, bytes binary",
+    )
+
+    def e6(c: str) -> F.Column:
+        return F.floor(F.col(c) * 1000000 + 0.5).cast("long").alias(f"{c}_e6")
+
+    return audio_features(df).select(
+        "media_id",
+        F.col("n_samples").cast("int").alias("n_samples"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        e6("duration_ms"),
+        e6("rms"),
+        e6("peak"),
+        F.col("zero_crossings").cast("int").alias("zero_crossings"),
+        "decode_error",
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: video frame sampling plumbing (deterministic fake)."""
     from darc_spark.functions.multimodal import sample_frames
@@ -807,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "submit_payloads": q_submit_payloads,
     }
 
@@ -977,6 +1012,35 @@ def _export_python_oracles() -> None:
             }
         ),
         os.path.join(_ORACLE_DIR, "image_features.parquet"),
+    )
+
+    # audio_features: same pattern — pure enumeration of the shared
+    # payload corpus through the identical per-clip computation
+    from darc_spark.functions.multimodal import audio_feature_row
+
+    au = [audio_feature_row(m, p) for m, p in _audio_payloads()]
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([f["media_id"] for f in au], pa.string()),
+                "n_samples": pa.array([f["n_samples"] for f in au], pa.int32()),
+                "sample_rate": pa.array(
+                    [f["sample_rate"] for f in au], pa.int32()
+                ),
+                "duration_ms": pa.array(
+                    [f["duration_ms"] for f in au], pa.float64()
+                ),
+                "rms": pa.array([f["rms"] for f in au], pa.float64()),
+                "peak": pa.array([f["peak"] for f in au], pa.float64()),
+                "zero_crossings": pa.array(
+                    [f["zero_crossings"] for f in au], pa.int32()
+                ),
+                "decode_error": pa.array(
+                    [f["decode_error"] for f in au], pa.string()
+                ),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "audio_features.parquet"),
     )
 
     # frame_sample: the deterministic fake decoder enumerated driver-side
@@ -1219,6 +1283,15 @@ FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
 SELECT media_id, CAST(frame_index AS INT) AS frame_index,
        CAST(frame_len AS INT) AS frame_len
 FROM read_parquet('{_ORACLE_DIR}/frame_sample.parquet')
+""",
+        "audio_features": f"""
+SELECT media_id, CAST(n_samples AS INT) AS n_samples,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(floor(duration_ms * 1000000 + 0.5) AS BIGINT) AS duration_ms_e6,
+       CAST(floor(rms * 1000000 + 0.5) AS BIGINT) AS rms_e6,
+       CAST(floor(peak * 1000000 + 0.5) AS BIGINT) AS peak_e6,
+       CAST(zero_crossings AS INT) AS zero_crossings, decode_error
+FROM read_parquet('{_ORACLE_DIR}/audio_features.parquet')
 """,
         "sessionize": """
 WITH lagged AS (

@@ -193,9 +193,86 @@ def sample_frames(
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(fn, FRAMES)
 
 
-def decode_audio(df: DataFrame, **_: object) -> DataFrame:
-    """Audio decode — STUB: no audio library in this container."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa; wire them here on a real "
-        "cluster — the mapInPandas contract matches sample_frames()"
-    )
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+_AUDIO_SR = 16000
+
+
+def fake_decode_audio(payload: bytes, n_samples: int = 4096) -> "np.ndarray":
+    """DETERMINISTIC FAKE audio decode — no audio library ships in this
+    container; a real deployment swaps this for soundfile/librosa. The
+    fake derives a float32 waveform in [-1, 1) from sha256(payload), so
+    results are stable and the oracle can enumerate them driver-side
+    (module-level for exactly that reason, like :func:`fake_decode_frame`)."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+
+
+def audio_feature_row(mid: object, data: object) -> dict:
+    """Pure per-clip feature computation (shared by the distributed
+    operator and the driver-side oracle export). Feature shapes are the
+    standard audio-pipeline set (RMS energy, peak, zero-crossing count)
+    over the decoded waveform."""
+    row = {
+        "media_id": mid,
+        "n_samples": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "rms": None,
+        "peak": None,
+        "zero_crossings": None,
+        "decode_error": None,
+    }
+    try:
+        if data is None:
+            raise ValueError("null payload")
+        wave = fake_decode_audio(bytes(data))
+        wave64 = wave.astype(np.float64)
+        row.update(
+            n_samples=int(wave.shape[0]),
+            sample_rate=_AUDIO_SR,
+            duration_ms=float(wave.shape[0] * 1000.0 / _AUDIO_SR),
+            rms=float(np.sqrt(np.mean(wave64 * wave64))),
+            peak=float(np.max(np.abs(wave64))),
+            zero_crossings=int(np.count_nonzero(np.diff(np.signbit(wave64)))),
+        )
+    except NotImplementedError as exc:
+        row["decode_error"] = f"stub: {exc}"
+    except Exception as exc:  # noqa: BLE001 - never-throw contract
+        row["decode_error"] = f"{type(exc).__name__}: {exc}"
+    return row
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Audio decode + feature-extract, Arrow-batched (mapInPandas) —
+    the audio analogue of :func:`image_features`: opaque binary column
+    in, per-clip scalar features out, payload never shuffled. The
+    decoder is the clearly-marked deterministic fake above; the
+    distributed contract (schema, batch shape, never-throw rows) is
+    real and value-checked."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                audio_feature_row(mid, data)
+                for mid, data in zip(pdf[id_col], pdf[bytes_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])
+
+    return df.select(
+        F.col(id_col).alias("media_id"), F.col(bytes_col).alias("bytes")
+    ).mapInPandas(fn, AUDIO_FEATURES)

@@ -1,12 +1,13 @@
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from darc_spark.functions.images import encode_lossy, encode_png, phash64
 from darc_spark.functions.multimodal import (
-    decode_audio,
+    audio_feature_row,
+    audio_features,
+    fake_decode_audio,
     image_features,
     resize_images,
     sample_frames,
@@ -76,7 +77,27 @@ def test_sample_frames_deterministic(spark):
     assert len(a) == 6
 
 
-def test_audio_stub_raises(spark):
-    df = spark.createDataFrame([("a", bytearray(b"x"))], "media_id string, bytes binary")
-    with pytest.raises(NotImplementedError):
-        decode_audio(df)
+def test_audio_features_deterministic_and_matches_pure(spark):
+    """Distributed audio features == driver-side pure computation (the
+    same contract the oracle export relies on), and null payloads take
+    the never-throw decode_error path."""
+    payloads = [("aud0", b"clip-A" * 7), ("aud1", b"clip-B" * 9), ("bad", None)]
+    df = spark.createDataFrame(
+        [(m, bytearray(p) if p is not None else None) for m, p in payloads],
+        "media_id string, bytes binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for mid, p in payloads:
+        want = audio_feature_row(mid, p)
+        r = got[mid]
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(r[k] - v) < 1e-12, (mid, k)
+            else:
+                assert r[k] == v, (mid, k)
+    assert got["bad"]["decode_error"] is not None
+    assert got["aud0"]["n_samples"] == 4096
+    assert 0.0 < got["aud0"]["rms"] < 1.0
+    # decode is a pure function of the payload
+    w1, w2 = fake_decode_audio(b"clip-A" * 7), fake_decode_audio(b"clip-A" * 7)
+    assert (w1 == w2).all()
