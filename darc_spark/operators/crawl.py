@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -110,11 +111,21 @@ class Crawler:
         root: str,
         web: SynthWeb | None = None,
         config: CrawlConfig | None = None,
+        poster: "Callable | None" = None,
     ) -> None:
         self.spark = spark
         self.web = web or SynthWeb()
         self.cfg = config or CrawlConfig()
         self.store = SnapshotStore(spark, root)
+        # optional API-submit sink (darc/submit.py): when a poster is
+        # given, each round renders and POSTs the three event domains
+        # with bounded retry + spill/replay. None (default) = archive-only
+        # deployment, zero extra jobs per round.
+        self.submit_sink = None
+        if poster is not None:
+            from darc_spark.operators.submit_sink import SubmitSink
+
+            self.submit_sink = SubmitSink(self.store, poster)
         self.store.schemas.setdefault("robots_docs", ROBOTS_DOCS)
         self.fr_req = Frontier(
             self.store,
@@ -800,12 +811,47 @@ class Crawler:
                 reason=f"{reason}-max-retries",
             )
 
+    def _submit_stage(self, r: int) -> dict[str, float]:
+        """API submission (darc/submit.py:249-754): render this round's
+        three event domains (new_host / requests / selenium) and push
+        them through the retry/spill sink; spilled payloads from earlier
+        rounds replay first."""
+        from darc_spark.functions.submit import (
+            new_host_payloads,
+            requests_payloads,
+            selenium_payloads,
+        )
+
+        sink = self.submit_sink
+        m: dict[str, float] = {}
+        hosts_r = self._hostname_state().filter(F.col("first_seen_round") == r)
+        res_h = sink.submit(new_host_payloads(hosts_r), "new_host", r)
+        fetches_r = self.store.read_all("fetches").filter(
+            F.col("fetch_round") == r
+        )
+        res_q = sink.submit(requests_payloads(fetches_r), "requests", r)
+        res_s = {"submitted": 0, "spilled": 0}
+        if self.cfg.selenium_enabled:
+            sel_r = self.store.read_all("fetches_selenium").filter(
+                F.col("fetch_round") == r
+            )
+            res_s = sink.submit(selenium_payloads(sel_r), "selenium", r)
+        m["submitted"] = float(
+            res_h["submitted"] + res_q["submitted"] + res_s["submitted"]
+        )
+        m["submit_spilled"] = float(
+            res_h["spilled"] + res_q["spilled"] + res_s["spilled"]
+        )
+        return m
+
     # -- round driver ---------------------------------------------------------
     def run_round(self) -> dict[str, float]:
         r = self.round
         metrics = self._requests_stage(r)
         if self.cfg.selenium_enabled:
             metrics.update(self._selenium_stage(r))
+        if self.submit_sink is not None:
+            metrics.update(self._submit_stage(r))
         # metrics ride in the manifest meta (no extra write job); the
         # metrics() accessor rebuilds the table from manifests on demand
         if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:

@@ -120,3 +120,39 @@ def test_transient_blip_absorbed_by_retry(spark, tmp_path):
     store.commit({"round": 0})
     assert m == {"submitted": 1, "spilled": 0, "total": 1}
     assert store.read("submit_spill").count() == 0
+
+
+def test_crawl_loop_submit_integration(spark, tmp_path):
+    """Crawler with a poster wired: round 0's API outage spills every
+    rendered payload; round 1 (API up) replays them alongside round 1's
+    fresh events — nothing lost (darc/submit.py end-to-end contract)."""
+    from darc_spark.operators.crawl import Crawler, CrawlConfig
+    from darc_spark.sources.synth import SynthWeb
+
+    web = SynthWeb(seed=5, pages_per_host=20, branching=3)
+    poster = switch_poster(ok=False)
+    crawler = Crawler(
+        spark,
+        str(tmp_path / "c"),
+        web,
+        CrawlConfig(
+            per_host=4, lease=2, max_retries=0,
+            selenium_enabled=False, n_filter_buckets=4,
+        ),
+        poster=poster,
+    )
+    crawler.seed(web.seeds())
+    m0 = crawler.run_round()
+    assert m0["submitted"] == 0
+    assert m0["submit_spilled"] > 0
+    spilled0 = crawler.store.read("submit_spill").count()
+    assert spilled0 == m0["submit_spilled"]
+
+    poster.ok = True
+    m1 = crawler.run_round()
+    # round 1 submits its own fresh events PLUS round 0's replayed spill
+    assert m1["submit_spilled"] == 0
+    assert m1["submitted"] >= spilled0
+    assert crawler.store.read("submit_spill").count() == 0
+    # domains all rendered: new_host + requests payloads present in round 0
+    assert m0["submit_spilled"] >= m0["fetched_requests"]
