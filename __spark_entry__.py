@@ -732,6 +732,34 @@ def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return requests_payloads(crawler.store.read("fetches"))
 
 
+def q_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing fallback (darc/parse.py:276-302): classify a
+    closed corpus of header-less bodies with the REAL sniffing function;
+    the oracle is an independent hand-derived CASE over the same corpus."""
+    from darc_spark.functions.sniff import sniff_mime
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).selectExpr(
+        "doc_id",
+        """CASE CAST(doc_id % 6 AS INT)
+             WHEN 0 THEN '<html><body>x</body></html>'
+             WHEN 1 THEN '  <!DOCTYPE html><p>y</p>'
+             WHEN 2 THEN 'plain words here'
+             WHEN 3 THEN '<?xml version="1.0"?><urlset/>'
+             ELSE ''
+           END AS body""",
+        """CASE CAST(doc_id % 6 AS INT)
+             WHEN 4 THEN unhex('89504E470D0A1A0A0000')
+             ELSE CAST(NULL AS BINARY)
+           END AS blob""",
+    )
+    udf = F.pandas_udf(lambda t, b: sniff_mime(t, b), "string")
+    return corpus.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        udf("body", "blob").alias("sniffed_mime"),
+    )
+
+
 def _audio_payloads() -> list[tuple[str, bytes]]:
     """Deterministic audio clip corpus shared by the Spark query and the
     driver-side oracle enumeration."""
@@ -842,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
+        "sniff_mime": q_sniff_mime,
         "submit_payloads": q_submit_payloads,
     }
 
@@ -1283,6 +1312,20 @@ FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
 SELECT media_id, CAST(frame_index AS INT) AS frame_index,
        CAST(frame_len AS INT) AS frame_len
 FROM read_parquet('{_ORACLE_DIR}/frame_sample.parquet')
+""",
+        # hand-derived expected mime per corpus case, independent of the
+        # engine's sniffing implementation
+        "sniff_mime": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN 'text/html'
+    WHEN 1 THEN 'text/html'
+    WHEN 2 THEN 'text/plain'
+    WHEN 3 THEN 'text/xml'
+    WHEN 4 THEN 'image/png'
+    ELSE '(null)'
+  END AS sniffed_mime
+FROM documents WHERE doc_id < 100
 """,
         "audio_features": f"""
 SELECT media_id, CAST(n_samples AS INT) AS n_samples,
