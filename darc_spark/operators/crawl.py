@@ -857,6 +857,23 @@ class Crawler:
         if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:
             self.fr_req.compact(r)
             self.fr_sel.compact(r)
+            # state-table rollups: hostname_state and robots_docs grow one
+            # event row per claimed host per round; both gates only consume
+            # an aggregate (min/max per host, latest doc), so folding to
+            # the aggregate is state-transparent — without it a long crawl
+            # re-aggregates an ever-growing event log every round
+            self.store.replace("hostname_state", self._hostname_state())
+            self.store.replace(
+                "robots_docs",
+                self.store.read_all("robots_docs")
+                .groupBy("hostname")
+                .agg(
+                    F.max_by("status_code", "fetch_round").alias("status_code"),
+                    F.max_by("text", "fetch_round").alias("text"),
+                    F.max("fetch_round").alias("fetch_round"),
+                )
+                .select("hostname", "status_code", "text", "fetch_round"),
+            )
         self.store.commit({"round": r, "metrics": metrics})
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests

@@ -3,6 +3,8 @@ produce exactly the state of one that never compacts."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from darc_spark.operators.crawl import Crawler, CrawlConfig
 from darc_spark.sources.synth import SynthWeb
 
@@ -22,7 +24,24 @@ def _state(crawler):
     pending = {
         r["url"] for r in crawler.fr_req.pending(ROUNDS + 10).select("url").collect()
     }
-    return fetches, seen, pending
+    # state-table rollups (hostname_state / robots_docs fold at compaction)
+    # must preserve the aggregate the gates consume
+    hosts = {
+        (r["hostname"], r["proxy"], r["first_seen_round"], r["last_fetch_round"])
+        for r in crawler._hostname_state().collect()
+    }
+    robots = {
+        (r["hostname"], r["status_code"], r["text"], r["fetch_round"])
+        for r in crawler.store.read("robots_docs")
+        .groupBy("hostname")
+        .agg(
+            F.max_by("status_code", "fetch_round").alias("status_code"),
+            F.max_by("text", "fetch_round").alias("text"),
+            F.max("fetch_round").alias("fetch_round"),
+        )
+        .collect()
+    }
+    return fetches, seen, pending, hosts, robots
 
 
 def test_compaction_equivalence(spark, tmp_path):
