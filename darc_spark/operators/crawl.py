@@ -637,7 +637,12 @@ class Crawler:
         m["fetched_requests"] = float(st["n"])
 
         # fetches table — every response row (headers/doc sink, S9/S10/S13)
-        self.store.append("fetches", self._fetches_rows(raw, r))
+        fetches_rows = self._fetches_rows(raw, r)
+        self.store.append("fetches", fetches_rows)
+        # this round's rows, kept for the submit stage: re-deriving from
+        # the scratch parquet is O(round), vs filtering the whole fetches
+        # archive by round (a full segment listing per round at scale)
+        self._round_fetches = fetches_rows
 
         # LinkNoReturn from site hooks → permanent drop
         if st["n_noreturn"]:
@@ -755,9 +760,9 @@ class Crawler:
             "fetch_raw_selenium", run_fetch(keep, fetch_fn)
         )
         st = self._raw_stats(raw, cfg)
-        self.store.append(
-            "fetches_selenium", self._fetches_rows(raw, r, screenshot=True)
-        )
+        sel_rows = self._fetches_rows(raw, r, screenshot=True)
+        self.store.append("fetches_selenium", sel_rows)
+        self._round_fetches_sel = sel_rows
         # LinkNoReturn from site hooks → permanent drop BEFORE extraction
         # (reference loader drops on LinkNoReturn, darc/crawl.py:303-309 —
         # mirrors the requests stage; no_return pages neither extract nor
@@ -826,16 +831,24 @@ class Crawler:
         m: dict[str, float] = {}
         hosts_r = self._hostname_state().filter(F.col("first_seen_round") == r)
         res_h = sink.submit(new_host_payloads(hosts_r), "new_host", r)
-        fetches_r = self.store.read_all("fetches").filter(
-            F.col("fetch_round") == r
-        )
+        # this round's rows, captured by the stages (derived from scratch
+        # parquet) — never a filter over the whole fetches archive
+        fetches_r = getattr(self, "_round_fetches", None)
+        if fetches_r is None:
+            fetches_r = self.store.read_all("fetches").filter(
+                F.col("fetch_round") == r
+            )
         res_q = sink.submit(requests_payloads(fetches_r), "requests", r)
         res_s = {"submitted": 0, "spilled": 0}
         if self.cfg.selenium_enabled:
-            sel_r = self.store.read_all("fetches_selenium").filter(
-                F.col("fetch_round") == r
-            )
+            sel_r = getattr(self, "_round_fetches_sel", None)
+            if sel_r is None:
+                sel_r = self.store.read_all("fetches_selenium").filter(
+                    F.col("fetch_round") == r
+                )
             res_s = sink.submit(selenium_payloads(sel_r), "selenium", r)
+        self._round_fetches = None
+        self._round_fetches_sel = None
         m["submitted"] = float(
             res_h["submitted"] + res_q["submitted"] + res_s["submitted"]
         )
