@@ -201,6 +201,17 @@ class Crawler:
 
         return docs.mapInPandas(derive, "hostname string, crawl_delay_rounds int")
 
+    def _rules_rows_df(self, docs: DataFrame) -> DataFrame:
+        """robots docs → parsed rules rows (schema.ROBOTS_RULES)."""
+
+        def derive(pdf_iter):
+            for pdf in pdf_iter:
+                yield robots_rules_rows(
+                    pdf["hostname"], pdf["text"], pdf["status_code"]
+                )
+
+        return docs.mapInPandas(derive, self.store.schemas["robots_rules"])
+
     # -- new-host gate ---------------------------------------------------------
     def _new_host_gate(
         self,
@@ -275,16 +286,7 @@ class Crawler:
         )
         self.store.append("robots_docs", fresh_docs)
         # parsed rules rows (queryable artifact, schema.ROBOTS_RULES)
-        def derive_rules(pdf_iter):
-            for pdf in pdf_iter:
-                yield robots_rules_rows(
-                    pdf["hostname"], pdf["text"], pdf["status_code"]
-                )
-
-        self.store.append(
-            "robots_rules",
-            fresh_docs.mapInPandas(derive_rules, self.store.schemas["robots_rules"]),
-        )
+        self.store.append("robots_rules", self._rules_rows_df(fresh_docs))
 
         # sitemaps: robots Sitemap: lines, else /sitemap.xml fallback
         # (darc/proxy/null.py:169-170); recursion over sitemapindex is a
@@ -886,6 +888,14 @@ class Crawler:
                     F.max("fetch_round").alias("fetch_round"),
                 )
                 .select("hostname", "status_code", "text", "fetch_round"),
+            )
+            # robots_rules likewise accumulates one rule set per fetch
+            # (TIME_CACHE re-fetches included, with no epoch column) —
+            # re-derive from the compacted latest-per-host docs so the
+            # queryable artifact reflects current policy and stays bounded
+            self.store.replace(
+                "robots_rules",
+                self._rules_rows_df(self.store.read_all("robots_docs")),
             )
         self.store.commit({"round": r, "metrics": metrics})
         self.round = r + 1
