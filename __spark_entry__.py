@@ -541,6 +541,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end: inverted-file coarse quantization (seeded
+    literal codebook — the trainer is ``ivf_build``, separately
+    unit-tested) → probe the 2 nearest cells → exact cosine re-rank.
+    The second 10^10-scale ANN path besides the LSH bucket."""
+    from darc_spark.functions.similarity import ivf_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return ivf_topk(
+        emb, qvec, k=5, n_cells=8, n_probe=2, dims=64, exclude_id=0
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -861,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -1146,6 +1166,48 @@ def _planes_literal(n_bits: int, dims: int) -> list[str]:
         vals = ", ".join(repr(v) for v in plane(i, dims))
         out.append(f"[{vals}]")
     return out
+
+
+def _ivf_duck(n_cells: int, n_probe: int, dims: int) -> str:
+    """CTE prelude: literal codebook + per-vector argmin assignment +
+    query probe cells — same codeword literals, the same ||c||²−2·v·c
+    comparable distance, and the same (dist, cell) tie-break as the
+    engine's ivf_assign/ivf_topk."""
+    from darc_spark.functions.similarity import ivf_cells
+
+    cells = ivf_cells(n_cells, dims)
+    rows = []
+    for i, c in enumerate(cells):
+        n2 = sum(x * x for x in c)
+        lit = ", ".join(repr(v) for v in c)
+        rows.append(f"({i}, [{lit}]::DOUBLE[], {n2!r})")
+    values = ",\n  ".join(rows)
+    dist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(embedding[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    qdist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(qv[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    return f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS t(cell, c, n2)
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY ({dist}), cell
+         ) AS rn
+  FROM embeddings CROSS JOIN cells
+), probe AS (
+  SELECT cell FROM q CROSS JOIN cells
+  ORDER BY ({qdist}), cell LIMIT {n_probe}
+)
+"""
 
 
 def _sig_expr_duck(n_bits: int, dims: int, vec: str = "embedding") -> str:
@@ -1527,6 +1589,24 @@ WITH sigs AS (
               * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
                 j -> CAST(qv[j] AS DOUBLE) * CAST(qv[j] AS DOUBLE)), (a, b) -> a + b))) AS cosine
   FROM bucket
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
+FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+        "ann_ivf": _ivf_duck(8, 2, 64)
+        + """
+, scored AS (
+  SELECT a.vec_id,
+         list_reduce(list_transform(range(1, len(a.embedding)+1),
+             j -> CAST(a.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)),
+             (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(a.embedding)+1),
+                j -> CAST(a.embedding[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(q.qv)+1),
+                j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)), (x, y) -> x + y))) AS cosine
+  FROM assign a CROSS JOIN q
+  WHERE a.rn = 1 AND a.cell IN (SELECT cell FROM probe) AND a.vec_id != 0
 )
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6

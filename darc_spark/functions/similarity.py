@@ -192,6 +192,130 @@ def cosine_near_pairs(
     )
 
 
+def ivf_cells(n_cells: int, dims: int) -> list[list[float]]:
+    """Deterministic seeded codebook for the IVF coarse quantizer.
+
+    A stand-in for a trained codebook (:func:`ivf_build` is the
+    trainer): determinism is what the value-checked contract needs —
+    the DuckDB oracle embeds the *same literals*. Offset 1000 keeps the
+    codewords disjoint from the LSH plane family.
+    """
+    return [plane(1000 + i, dims) for i in range(n_cells)]
+
+
+def _cell_distances(vec: Column, cells: list[list[float]]) -> list[Column]:
+    """Per-codeword comparable distance: ||c||² − 2·v·c (the ||v||² term
+    is constant under argmin, so it is dropped on BOTH sides)."""
+    out = []
+    for c in cells:
+        c_norm2 = float(sum(x * x for x in c))
+        cc = F.array(*[F.lit(float(v)) for v in c])
+        out.append(F.lit(c_norm2) - F.lit(2.0) * dot(vec, cc))
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    cells: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest codeword (argmin squared-L2,
+    first index wins ties) — JVM-side expressions only, no Python."""
+    darr = F.array(*_cell_distances(F.col(vec_col), cells))
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN: exact cosine re-rank restricted to the ``n_probe``
+    nearest coarse cells of the query.
+
+    The 10^10-scale path: the inverted-file assignment replaces the full
+    scan — only the probed cells' vectors are scored. Probe-cell choice
+    uses the same float64 left-to-right arithmetic as the assignment
+    expressions (and the DuckDB oracle), so the contract is exact.
+    """
+    cells = ivf_cells(n_cells, dims)
+    # query's probe cells, driver-side on literals (same math both sides)
+    qd = []
+    for i, c in enumerate(cells):
+        c_norm2 = sum(x * x for x in c)
+        d = c_norm2 - 2.0 * _dot_py(query_vec, c)
+        qd.append((d, i))
+    probe = [i for _, i in sorted(qd)[:n_probe]]
+    assigned = ivf_assign(df, cells, id_col, vec_col).filter(
+        F.col("cell").isin(probe)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = assigned.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias(
+            "cosine"
+        ),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Left-to-right float64 dot — bit-identical to ``F.aggregate`` /
+    DuckDB ``list_reduce`` accumulation order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def ivf_build(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd trainer for the IVF codebook.
+
+    Init = the vectors with the ``k`` smallest ids (deterministic);
+    each iteration assigns distributed (argmin expressions) and
+    re-averages per (cell, dimension) via ``posexplode`` — a dims-fold
+    row blowup, fine for an offline index-build step (the scan per
+    iteration is the cost; centroid state is k×dims tiny). Empty cells
+    keep their previous centroid. Returns driver-side literals for
+    :func:`ivf_topk`.
+    """
+    seed_rows = (
+        df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    cells = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = ivf_assign(df, cells, id_col, vec_col)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cells = [list(c) for c in cells]
+        for r in means:
+            new_cells[int(r["cell"])][int(r["pos"])] = float(r["m"])
+        cells = new_cells
+    return cells
+
+
 def hamming_near_pairs(
     df: DataFrame,
     n_bits: int = 16,

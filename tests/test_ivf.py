@@ -1,0 +1,86 @@
+"""IVF coarse-quantizer family: the distributed Lloyd trainer matches a
+numpy reference under the same deterministic init/tie-breaks, assignment
+is JVM-side, and the probed top-k equals brute force restricted to the
+probed cells."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from darc_spark.functions.similarity import (
+    ivf_assign,
+    ivf_build,
+    ivf_cells,
+    ivf_topk,
+)
+from darc_spark.plans import assert_no_python
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_kmeans(X, ids, k, iters):
+    order = np.argsort(ids)
+    cells = X[order[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :].astype(np.float64) - cells[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        assign = d.argmin(axis=1)  # argmin takes the FIRST min — same tie-break
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cells[c] = X[m].astype(np.float64).mean(axis=0)
+    return cells
+
+
+def test_ivf_build_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float32)
+    got = np.array(ivf_build(emb, k=4, iters=2))
+    want = _np_kmeans(X, ids, k=4, iters=2)
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_ivf_assign_udf_free_and_total(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    assigned = ivf_assign(emb, cells)
+    assert_no_python(assigned)
+    rows = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in rows) == emb.count()  # total, no drops
+    assert all(0 <= r["cell"] < 8 for r in rows)
+
+
+def test_ivf_topk_equals_bruteforce_on_probed_cells(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_topk(emb, qvec, k=5, n_cells=8, n_probe=2, exclude_id=0).collect()
+    ]
+    assert len(got) == 5
+    # brute force restricted to the same probed cells must agree exactly
+    cells = ivf_cells(8, 64)
+    assigned = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cells).collect()}
+    qd = []
+    for i, c in enumerate(cells):
+        n2 = sum(x * x for x in c)
+        d = n2 - 2.0 * sum(float(a) * b for a, b in zip(qvec, c))
+        qd.append((d, i))
+    probe = {i for _, i in sorted(qd)[:2]}
+    qn = np.sqrt(sum(v * v for v in qvec))
+    brute = []
+    for r in emb.collect():
+        vid = r["vec_id"]
+        if vid == 0 or assigned[vid] not in probe:
+            continue
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        brute.append((vid, float(v @ np.array(qvec)) / (float(np.linalg.norm(v)) * qn)))
+    brute.sort(key=lambda t: (-t[1], t[0]))
+    want = [(vid, round(c, 9)) for vid, c in brute[:5]]
+    assert [v for v, _ in got] == [v for v, _ in want]
