@@ -78,6 +78,83 @@ class SeedStreamIngestor:
         )
 
 
+URL_SEEN_STREAM_OUT = "url string, name string, bucket int"
+URL_SEEN_STREAM_STATE = "hashes binary"
+
+
+def url_seen_dedup_stream(
+    spark: SparkSession,
+    seed_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """Stateful streaming URL-seen dedup — the Structured Streaming
+    equivalent of the reference's ZADD-NX (``darc/db.py:555-568``),
+    via ``applyInPandasWithState``.
+
+    URLs stream from a watched directory, classify through the
+    vectorized parser, and key by a hash bucket of the canonical name;
+    each bucket's state holds the packed 64-bit prefixes of every name
+    it has admitted, so only first-seen URLs are emitted — across
+    micro-batches AND across query restarts (state lives in the
+    streaming checkpoint). Per-bucket state is exactly the partitioned
+    filter shape the batch engine uses: at 10^10 URLs, state size per
+    bucket is bounded by the bucket count knob, not the stream length.
+    """
+    import os as _os
+
+    _os.makedirs(seed_dir, exist_ok=True)
+    stream = spark.readStream.format("text").load(seed_dir)
+    urls = stream.select(F.trim("value").alias("url")).filter(
+        (F.col("url") != "") & ~F.col("url").startswith("#")
+    )
+    links = with_parsed_link(urls).select("url", "name")
+    keyed = links.withColumn(
+        "bucket", F.pmod(F.xxhash64("name"), F.lit(n_buckets)).cast("int")
+    )
+
+    def dedup(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            (blob,) = state.get
+            seen = set(np.frombuffer(blob, dtype=np.uint64).tolist())
+        else:
+            seen = set()
+        rows = []
+        for pdf in pdf_iter:
+            for url, name in zip(pdf["url"], pdf["name"]):
+                h = int(name[:16], 16)  # 64-bit prefix of the sha256 name
+                if h not in seen:
+                    seen.add(h)
+                    rows.append((url, name, key[0]))
+        state.update(
+            (np.array(sorted(seen), dtype=np.uint64).tobytes(),)
+        )
+        yield pd.DataFrame(rows, columns=["url", "name", "bucket"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = keyed.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        URL_SEEN_STREAM_OUT,
+        URL_SEEN_STREAM_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    # parquet sink: fault-tolerant (exactly-once file commit log), so the
+    # query RESUMES from the checkpoint — memory sinks cannot recover
+    return (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def fetches_stream(spark: SparkSession, store_root: str) -> DataFrame:
     """Streaming view over the append-only fetches segments."""
     path = os.path.join(store_root, "fetches")

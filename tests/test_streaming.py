@@ -56,3 +56,36 @@ def test_hostname_counts_stream(spark, tmp_path):
     )
     expected = {r["hostname"]: r["count"] for r in batch_counts}
     assert rows == expected
+
+
+def test_url_seen_dedup_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState URL-seen: dedups across micro-batches AND
+    across query restarts (state recovered from the checkpoint)."""
+    from darc_spark.streaming import url_seen_dedup_stream
+
+    seed_dir = str(tmp_path / "seeds")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    q = url_seen_dedup_stream(spark, seed_dir, ckpt, out_dir)
+    try:
+        with open(os.path.join(seed_dir, "b1.txt"), "w") as f:
+            f.write("http://a.example/1\nhttp://b.onion/x\nhttp://a.example/1\n")
+        q.processAllAvailable()
+        with open(os.path.join(seed_dir, "b2.txt"), "w") as f:
+            f.write("http://a.example/1\nhttp://c.i2p/y\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows1 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert rows1 == {"http://a.example/1", "http://b.onion/x", "http://c.i2p/y"}
+
+    # restart from the same checkpoint: state survives, overlaps stay deduped
+    q2 = url_seen_dedup_stream(spark, seed_dir, ckpt, out_dir)
+    try:
+        with open(os.path.join(seed_dir, "b3.txt"), "w") as f:
+            f.write("http://b.onion/x\nhttp://d.example/z\n")
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows2 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert rows2 == rows1 | {"http://d.example/z"}
