@@ -155,6 +155,44 @@ def url_seen_dedup_stream(
     )
 
 
+def event_windows_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> StreamingQuery:
+    """Watermarked event-time windowed aggregation (late-data handling).
+
+    Streams event rows (``ts`` event-time) from a directory, applies a
+    watermark so state for closed windows is dropped, and emits each
+    hour×event_type count exactly once when its window finalizes
+    (append mode). Events arriving later than the watermark bound are
+    DROPPED — the at-scale contract: aggregation state is bounded by
+    the watermark horizon, not the stream's history.
+    """
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def fetches_stream(spark: SparkSession, store_root: str) -> DataFrame:
     """Streaming view over the append-only fetches segments."""
     path = os.path.join(store_root, "fetches")

@@ -89,3 +89,59 @@ def test_url_seen_dedup_stream_stateful(spark, tmp_path):
         q2.stop()
     rows2 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
     assert rows2 == rows1 | {"http://d.example/z"}
+
+
+def test_event_windows_stream_drops_late_data(spark, tmp_path):
+    """Watermarked windowed agg: a window finalizes once the watermark
+    passes its end (append mode emits it exactly once), and events
+    arriving later than the watermark bound are dropped — state stays
+    bounded by the watermark horizon."""
+    from datetime import datetime
+
+    from darc_spark.streaming.stream import event_windows_stream
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(events_dir, name)
+        )
+
+    T = datetime
+    # batch 1: 3 on-time clicks in [00:00, 01:00) + one event at 02:10
+    # that advances the watermark past 01:00, closing that window
+    b1 = [
+        (1, T(2026, 1, 1, 0, 10), "click", 1.0),
+        (2, T(2026, 1, 1, 0, 20), "click", 1.0),
+        (3, T(2026, 1, 1, 0, 40), "click", 1.0),
+        (4, T(2026, 1, 1, 2, 10), "click", 1.0),
+    ]
+    q = event_windows_stream(
+        spark,
+        events_dir + "/*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        schema,
+    )
+    try:
+        write_batch("b1", b1)
+        q.processAllAvailable()
+        # batch 2: TWO LATE clicks for the closed 00:00 window (beyond
+        # the 1h watermark → dropped) + a 04:10 watermark driver
+        b2 = [
+            (5, T(2026, 1, 1, 0, 25), "click", 1.0),
+            (6, T(2026, 1, 1, 0, 45), "click", 1.0),
+            (7, T(2026, 1, 1, 4, 10), "click", 1.0),
+        ]
+        write_batch("b2", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # the 00:00 window emitted exactly once, WITHOUT the 2 late rows
+    assert out[("2026-01-01 00:00:00", "click")] == 3, out
