@@ -455,6 +455,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph (cluster → keep canonical copy), labels = min member id.
+    Iterative min-label propagation on DataFrames; the oracle computes
+    the same components with a recursive reachability CTE."""
+    from darc_spark.functions.dedup import connected_components, minhash_lsh_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.text import lang_id
 
@@ -873,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1488,6 +1504,30 @@ GROUP BY 1, 2
 SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS canonical_id
 FROM sigs GROUP BY 1 HAVING count(*) > 1
+""",
+        # recursive reachability: component = min id reachable from node
+        # over the (undirected) MinHash pair graph — independent of the
+        # engine's iterative label-propagation implementation
+        "dedup_components": _duck_minhash_sig(4).replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS component
+FROM walk GROUP BY 1
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (

@@ -202,3 +202,83 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster labels.
+
+    The "cluster then keep one canonical copy" step of a training-data
+    dedup pipeline: pairs from any candidate generator (MinHash bands,
+    simhash, cosine) become clusters, labeled by their minimum member
+    id. Iterative min-label propagation on DataFrames (the classic
+    MapReduce-CC shape): each round every node takes the min of its own
+    label and its neighbors' labels, until a fixpoint — iterations are
+    O(diameter), and near-dup clusters are shallow, so this converges in
+    a few rounds even at 10^10 docs. Per-iteration cost is one join +
+    one aggregation, both on the node id (uniform shuffle); the
+    convergence probe is a single count aggregate.
+
+    Returns (node, component) for every node appearing in ``pairs``.
+    """
+    # localCheckpoint (eager) truncates lineage each iteration — the
+    # standard guard for iterative DataFrame algorithms, where nesting
+    # every round's plan inside the next blows up driver-side planning
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # every node's candidate label = min over incoming neighbor labels
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path compression): follow label→label-of-label,
+        # so convergence is O(log diameter) instead of O(diameter) —
+        # long chain-shaped near-dup clusters would otherwise need one
+        # iteration per hop
+        hop = stepped.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(hop, stepped.label == hop._ln, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("_ll", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

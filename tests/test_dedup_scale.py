@@ -111,3 +111,51 @@ def test_cosine_near_pairs_contract(spark):
     assert got, "expected a non-empty near-dup set"
     assert got <= brute  # no false positives (exact verify)
     assert len(got) / len(brute) > 0.3  # banding keeps useful recall
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation CC == driver-side union-find on a random
+    graph with mixed cluster shapes (chains, stars, isolated pairs)."""
+    import random
+
+    from darc_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    # chains (deep diameter), stars (wide), pairs
+    for base in (0, 100, 200):
+        prev = base
+        for i in range(1, 12):
+            edges.add((prev, base + i))
+            prev = base + i
+    for hub in (300, 400):
+        for i in range(1, 15):
+            edges.add((hub, hub + i))
+    for p in range(500, 540, 2):
+        edges.add((p, p + 1))
+    for _ in range(30):
+        a, b = rng.randrange(0, 550), rng.randrange(0, 550)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == want
