@@ -455,6 +455,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language —
+    the data-quality distribution report of a corpus pipeline. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the standard
+    (n−1)·p linear-interpolation definition."""
+    (docs,) = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("_p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("_p90"),
+        F.count("*").cast("long").alias("n_docs"),
+    ).select(
+        "lang",
+        F.floor(F.col("_p50") * 1000000 + 0.5).cast("long").alias("p50_e6"),
+        F.floor(F.col("_p90") * 1000000 + 0.5).cast("long").alias("p90_e6"),
+        "n_docs",
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph (cluster → keep canonical copy), labels = min member id.
@@ -891,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "quality_percentiles": q_quality_percentiles,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1572,6 +1591,13 @@ SELECT * FROM (VALUES
 ) AS t(hostname, agent, rule_index, path_prefix, allow, crawl_delay, request_rate)
 """,
         "lang_id": q_lang,
+        "quality_percentiles": """
+SELECT lang,
+       CAST(floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
+       CAST(floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_e6,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""",
         "quality_score": q_quality,
         "token_count": f"""
 SELECT source,
