@@ -488,6 +488,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: cluster the MinHash pair graph and
+    emit the kept corpus — each component's minimum-id member plus every
+    unpaired document."""
+    from darc_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    return keep_canonical(docs.select("doc_id", "lang"), pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from darc_spark.functions.text import lang_id
 
@@ -907,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "quality_percentiles": q_quality_percentiles,
@@ -1547,6 +1561,31 @@ FROM sigs GROUP BY 1 HAVING count(*) > 1
 )
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(label) AS BIGINT) AS component
 FROM walk GROUP BY 1
+""",
+        # kept corpus = all documents minus non-canonical cluster members
+        "dedup_keep": _duck_minhash_sig(4).replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node != component)
 """,
         "dedup_ngram_jaccard": f"""
 WITH toks AS (

@@ -282,3 +282,22 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: cluster the near-dup pair
+    graph and keep each component's canonical member (minimum id) plus
+    every unpaired document — the final "emit the training set" step.
+    One anti-join against the non-canonical members; docs payloads never
+    enter the clustering shuffles."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
