@@ -776,25 +776,62 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canon_payload_sha(payload: str) -> str:
+    """Canonical content hash of a rendered JSON payload: parse, re-dump
+    with sorted keys / tight separators, sha256 — so the oracle compares
+    the SEMANTIC document (all fields, full nesting) independent of
+    to_json's key order and spacing."""
+    import hashlib
+    import json as _json
+
+    return hashlib.sha256(
+        _json.dumps(
+            _json.loads(payload), sort_keys=True, separators=(",", ":")
+        ).encode()
+    ).hexdigest()
+
+
 def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11 parity: render requests-submission JSON payloads from a mini
-    crawl (darc/submit.py:394-603 contract; rows-only check)."""
+    """S11 parity, value-checked: render the requests-submission JSON
+    (darc/submit.py:394-603 contract) from the same crawl as
+    ``crawl_rounds``, and return a canonicalized sha256 per payload.
+    The oracle renders the same contract driver-side from the reference
+    simulator's fetch rows (pure functions of the seed) — a mismatch in
+    ANY payload field (Response headers/cookies/history, Metadata,
+    base64 Document, flags) flips the hash."""
     import tempfile
 
     from darc_spark.functions.submit import requests_payloads
     from darc_spark.operators.crawl import Crawler, CrawlConfig
     from darc_spark.sources.synth import SynthWeb
 
-    web = SynthWeb(seed=42, pages_per_host=30, branching=2)
+    web = SynthWeb(seed=42, pages_per_host=40, branching=3)
     crawler = Crawler(
         spark,
         tempfile.mkdtemp(prefix="q_submit_"),
         web,
-        CrawlConfig(per_host=4, lease=2, max_retries=0, selenium_enabled=False),
+        CrawlConfig(per_host=4, lease=2, max_retries=1, n_filter_buckets=4),
     )
     crawler.seed(web.seeds())
     crawler.run(2)
-    return requests_payloads(crawler.store.read("fetches"))
+    payloads = requests_payloads(crawler.store.read("fetches"))
+
+    # nested def: cloudpickle ships it by VALUE (executor workers cannot
+    # import __spark_entry__), logic identical to _canon_payload_sha
+    def _canon(s):
+        import hashlib
+        import json as _json
+
+        return s.map(
+            lambda p: hashlib.sha256(
+                _json.dumps(
+                    _json.loads(p), sort_keys=True, separators=(",", ":")
+                ).encode()
+            ).hexdigest()
+        )
+
+    sha_udf = F.pandas_udf(_canon, "string")
+    return payloads.select("name", sha_udf("payload").alias("payload_sha"))
 
 
 def q_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,6 +1080,57 @@ def _export_python_oracles() -> None:
             }
         ),
         os.path.join(_ORACLE_DIR, "submit_fields.parquet"),
+    )
+
+    # submit_payloads: the FULL requests.schema.json contract
+    # (darc/submit.py:394-603) rendered driver-side from the simulator's
+    # fetch rows — every field the engine's to_json emits, rebuilt from
+    # the pure page/parse functions, then canonicalized+hashed exactly
+    # like the Spark side. Null fields are omitted (to_json semantics).
+    _HTML_CT = ("text/html", "application/xhtml+xml")
+    sp_rows: list[tuple[str, str]] = []
+    for (r, hostname, url, status, _is_html, _n) in rows:
+        page = web.page(url)
+        parsed = oracle_parse(url)
+        ct = (page["content_type"] or "").lower().split(";")[0].strip()
+        doc = {
+            "$PARTIAL$": False,
+            "Timestamp": r,
+            "URL": url,
+            "Response": {
+                "StatusCode": page["status_code"],
+                "ContentType": ct,
+                "HTML": ct in _HTML_CT,
+                "Headers": dict(page["headers"]),
+                "Cookies": dict(page["cookies"]),
+                "History": [
+                    {"url": hop["url"], "status": hop["status"]}
+                    for hop in page["history"]
+                ],
+            },
+            "Metadata": {
+                "url": url,
+                "proxy": parsed["proxy"],
+                "host": parsed["hostname"],
+                "base": "/".join(
+                    [parsed["proxy"], url.split(":")[0], parsed["hostname"]]
+                ),
+                "name": parsed["name"],
+            },
+        }
+        if page["bytes"] is not None:
+            doc["Document"] = _b64.b64encode(page["bytes"]).decode()
+        import json as _json
+
+        sp_rows.append((parsed["name"], _canon_payload_sha(_json.dumps(doc))))
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array([x[0] for x in sp_rows], pa.string()),
+                "payload_sha": pa.array([x[1] for x in sp_rows], pa.string()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "submit_payloads.parquet"),
     )
 
     web2 = SynthWeb(seed=42, pages_per_host=60, branching=3)
@@ -1407,6 +1495,12 @@ FROM read_parquet('{_ORACLE_DIR}/crawl_rounds.parquet')
 SELECT url, CAST(fetch_round AS BIGINT) AS fetch_round,
        CAST(status_code AS INT) AS status_code, document_b64, base
 FROM read_parquet('{_ORACLE_DIR}/submit_fields.parquet')
+""",
+        # full payload contract: canonicalized sha256 per rendered JSON
+        # document, driver-rendered from the reference simulator's rows
+        "submit_payloads": f"""
+SELECT name, payload_sha
+FROM read_parquet('{_ORACLE_DIR}/submit_payloads.parquet')
 """,
         # expected features of the seeded payloads, enumerated driver-side
         # (pure function of the seed); same e6 rounding as the engine query

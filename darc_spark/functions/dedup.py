@@ -242,6 +242,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1  # -1 = loop never ran (max_iters <= 0 with edges present)
     for _ in range(max_iters):
         # every node's candidate label = min over incoming neighbor labels
         nbr = (
@@ -281,6 +282,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # pointer jumping converges in ~log2(diameter) rounds, so hitting
+        # max_iters with changes outstanding means the labels are WRONG
+        # (partial clusters) — fail loudly rather than let keep_canonical
+        # emit a silently-corrupt corpus
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -150,8 +150,19 @@ class Crawler:
         self.store.commit({"round": self.round - 1, "op": "seed"})
 
     # -- state dims --------------------------------------------------------------
-    def _hostname_state(self) -> DataFrame:
-        ev = self.store.read("hostname_state")
+    def _hostname_state(self, include_staged: bool = False) -> DataFrame:
+        """Aggregate the hostname_state event log to one row per host.
+
+        ``include_staged=True`` gives read-your-writes within the round
+        (needed by the submit stage: round r's first-seen rows are staged
+        until the end-of-round commit, so a committed-only read would
+        never see a new host in round r).
+        """
+        ev = (
+            self.store.read_all("hostname_state")
+            if include_staged
+            else self.store.read("hostname_state")
+        )
         return ev.groupBy("hostname").agg(
             F.first("proxy", ignorenulls=True).alias("proxy"),
             F.min("first_seen_round").alias("first_seen_round"),
@@ -831,7 +842,12 @@ class Crawler:
 
         sink = self.submit_sink
         m: dict[str, float] = {}
-        hosts_r = self._hostname_state().filter(F.col("first_seen_round") == r)
+        # read-your-writes: round r's hostname_state rows are staged until
+        # the end-of-round commit — a committed-only read would make this
+        # filter always empty and silently submit no new_host events
+        hosts_r = self._hostname_state(include_staged=True).filter(
+            F.col("first_seen_round") == r
+        )
         res_h = sink.submit(new_host_payloads(hosts_r), "new_host", r)
         # this round's rows, captured by the stages (derived from scratch
         # parquet) — never a filter over the whole fetches archive
@@ -877,9 +893,17 @@ class Crawler:
             # an aggregate (min/max per host, latest doc), so folding to
             # the aggregate is state-transparent — without it a long crawl
             # re-aggregates an ever-growing event log every round
-            self.store.replace("hostname_state", self._hostname_state())
+            # rollups are derived from read_all (committed + this round's
+            # staged appends), so the replacement must supersede the staged
+            # appends (drop_staged=True) — otherwise commit re-applies them
+            # on top and hosts fetched in a compaction round are duplicated
             self.store.replace(
-                "robots_docs",
+                "hostname_state",
+                self._hostname_state(include_staged=True),
+                drop_staged=True,
+            )
+            latest_docs = self.store.write_scratch(
+                "robots_docs_compact",
                 self.store.read_all("robots_docs")
                 .groupBy("hostname")
                 .agg(
@@ -889,13 +913,14 @@ class Crawler:
                 )
                 .select("hostname", "status_code", "text", "fetch_round"),
             )
+            self.store.replace("robots_docs", latest_docs, drop_staged=True)
             # robots_rules likewise accumulates one rule set per fetch
             # (TIME_CACHE re-fetches included, with no epoch column) —
-            # re-derive from the compacted latest-per-host docs so the
-            # queryable artifact reflects current policy and stays bounded
+            # re-derive from the SAME deduplicated latest-per-host docs
+            # used for the robots_docs replacement, so the queryable
+            # artifact has exactly one rule set per host
             self.store.replace(
-                "robots_rules",
-                self._rules_rows_df(self.store.read_all("robots_docs")),
+                "robots_rules", self._rules_rows_df(latest_docs), drop_staged=True
             )
         self.store.commit({"round": r, "metrics": metrics})
         self.round = r + 1

@@ -98,7 +98,11 @@ class SubmitSink:
                         index=pdf.index[pending],
                     ).fillna(False)
                     tries[pending] += 1
-                    ok[pending] = res.astype(bool)
+                    # positional numpy assignment: an index-aligned Series
+                    # here flips ok to object dtype on PARTIAL success
+                    # (alignment fills the unmasked rest with NaN), after
+                    # which ~ok yields -1/-2 integer labels and .loc dies
+                    ok.loc[pending] = res.astype(bool).to_numpy()
                     pending = ~ok
                 out = pdf[["key", "payload"]].copy()
                 out["ok"] = ok
@@ -114,12 +118,32 @@ class SubmitSink:
         ).head()
         n, n_ok = int(agg["n"] or 0), int(agg["n_ok"] or 0)
 
-        failed = results.filter(~F.col("ok")).select(
-            F.lit(domain).alias("domain"),
+        # carry cumulative retry history through the replay: a payload
+        # that keeps failing keeps its ORIGINAL spill round and its
+        # attempts counter accumulates across rounds, so operators can
+        # identify long-stuck payloads instead of every spill row reading
+        # attempts=max_retries+1 with this round's stamp
+        prior = spilled.select(
             "key",
-            "payload",
-            F.lit(r).cast("long").alias("spill_round"),
-            F.col("attempts").cast("int"),
+            F.col("attempts").alias("_prior_attempts"),
+            F.col("spill_round").alias("_prior_spill_round"),
+        )
+        failed = (
+            results.filter(~F.col("ok"))
+            .join(prior, "key", "left")
+            .select(
+                F.lit(domain).alias("domain"),
+                "key",
+                "payload",
+                F.coalesce(
+                    "_prior_spill_round", F.lit(r).cast("long")
+                ).alias("spill_round"),
+                (
+                    F.col("attempts") + F.coalesce("_prior_attempts", F.lit(0))
+                )
+                .cast("int")
+                .alias("attempts"),
+            )
         )
         other_domains = self.store.read_all("submit_spill").filter(
             F.col("domain") != domain

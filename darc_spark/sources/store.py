@@ -168,10 +168,22 @@ class SnapshotStore:
         for rel, _ in todo:
             del self._pending_writes[rel]
 
-    def replace(self, table: str, df: DataFrame) -> None:
-        """Stage a compaction: ``df`` becomes the table's only segment."""
+    def replace(self, table: str, df: DataFrame, drop_staged: bool = False) -> None:
+        """Stage a compaction: ``df`` becomes the table's only segment.
+
+        By default, appends already staged this round still ride on top
+        of the replacement at commit (Frontier.compact relies on this:
+        its replacement is derived from the committed snapshot). With
+        ``drop_staged=True`` the replacement also supersedes this
+        round's staged appends — required when the replacement was
+        derived from ``read_all`` (which already folded the staged rows
+        in), so commit does not re-apply them as duplicates.
+        """
         rel = self._new_segment(table, df)
         self._staged_replace[table] = [rel]
+        if drop_staged:
+            for seg in self._staged_appends.pop(table, []):
+                self._pending_writes.pop(seg, None)
 
     def commit(self, meta: dict[str, Any] | None = None) -> int:
         """Atomically publish all staged changes as one new snapshot."""

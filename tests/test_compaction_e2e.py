@@ -60,3 +60,18 @@ def test_compaction_equivalence(spark, tmp_path):
     plain_segs = len(plain.store.segments("frontier_requests"))
     compact_segs = len(compacting.store.segments("frontier_requests"))
     assert compact_segs < plain_segs
+
+    # the queryable artifacts are DUPLICATE-FREE after a compaction
+    # round: a host fetched in the compaction round must not appear
+    # once in the replacement and again via the round's staged appends
+    docs = compacting.store.read("robots_docs")
+    assert docs.count() == docs.select("hostname").distinct().count()
+    rules = compacting.store.read("robots_rules")
+    assert (
+        rules.count()
+        == rules.select("hostname", "agent", "rule_index").distinct().count()
+    )
+    hosts_tbl = compacting.store.read("hostname_state")
+    assert (
+        hosts_tbl.count() == hosts_tbl.select("hostname").distinct().count()
+    )

@@ -122,6 +122,55 @@ def test_transient_blip_absorbed_by_retry(spark, tmp_path):
     assert store.read("submit_spill").count() == 0
 
 
+def test_partial_batch_success_keeps_retrying(spark, tmp_path):
+    """A batch where only SOME payloads succeed on the first attempt must
+    keep retrying the rest (regression: index-aligned partial boolean-mask
+    assignment flipped the ok Series to object dtype, ~ok then produced
+    -1/-2 integer labels and the retry loop crashed)."""
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+
+    class PartialThenAllPoster:
+        def __init__(self) -> None:
+            self.calls = 0
+
+        def __call__(self, payloads: pd.Series):
+            self.calls += 1
+            if self.calls == 1:
+                return ['"a"' in p for p in payloads]
+            return [True] * len(payloads)
+
+    sink = SubmitSink(store, PartialThenAllPoster(), max_retries=2)
+    m = sink.submit(
+        _payloads(spark, ["a", "b", "c"]).repartition(1), "requests", r=0
+    )
+    store.commit({"round": 0})
+    assert m == {"submitted": 3, "spilled": 0, "total": 3}
+    assert store.read("submit_spill").count() == 0
+
+
+def test_spill_carries_cumulative_retry_history(spark, tmp_path):
+    """A permanently-failing payload keeps its ORIGINAL spill round and
+    accumulates attempts across replay rounds, so operators can identify
+    long-stuck payloads from the spill table."""
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    sink = SubmitSink(store, switch_poster(ok=False), max_retries=2)
+    sink.submit(_payloads(spark, ["a"]), "requests", r=0)
+    store.commit({"round": 0})
+    row0 = store.read("submit_spill").head()
+    assert (row0["spill_round"], row0["attempts"]) == (0, 3)
+
+    sink.submit(_payloads(spark, []), "requests", r=1)  # replay only
+    store.commit({"round": 1})
+    row1 = store.read("submit_spill").head()
+    assert (row1["spill_round"], row1["attempts"]) == (0, 6)
+
+    # a fresh re-render of the same key still inherits the history
+    sink.submit(_payloads(spark, ["a"]), "requests", r=2)
+    store.commit({"round": 2})
+    row2 = store.read("submit_spill").head()
+    assert (row2["spill_round"], row2["attempts"]) == (0, 9)
+
+
 def test_crawl_loop_submit_integration(spark, tmp_path):
     """Crawler with a poster wired: round 0's API outage spills every
     rendered payload; round 1 (API up) replays them alongside round 1's
@@ -147,6 +196,16 @@ def test_crawl_loop_submit_integration(spark, tmp_path):
     assert m0["submit_spilled"] > 0
     spilled0 = crawler.store.read("submit_spill").count()
     assert spilled0 == m0["submit_spilled"]
+    # new_host payloads must ACTUALLY fire in round 0 (every seed host is
+    # first-seen): the spill table holds both domains' keys
+    spill_domains = {
+        r["domain"]
+        for r in crawler.store.read("submit_spill")
+        .select("domain")
+        .distinct()
+        .collect()
+    }
+    assert "new_host" in spill_domains and "requests" in spill_domains
 
     poster.ok = True
     m1 = crawler.run_round()
@@ -154,5 +213,6 @@ def test_crawl_loop_submit_integration(spark, tmp_path):
     assert m1["submit_spilled"] == 0
     assert m1["submitted"] >= spilled0
     assert crawler.store.read("submit_spill").count() == 0
-    # domains all rendered: new_host + requests payloads present in round 0
-    assert m0["submit_spilled"] >= m0["fetched_requests"]
+    # strictly more spilled rows than fetched pages in round 0: the
+    # difference is exactly the new_host event per first-seen host
+    assert m0["submit_spilled"] > m0["fetched_requests"]
