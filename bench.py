@@ -38,6 +38,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # the heavy dedup/ANN/multimodal families — timed so a perf
+    # regression there is visible round-over-round
+    "dedup_components",
+    "cosine_near_pairs",
+    "phash_hamming",
+    "ann_ivf",
+    "image_features",
     "token_count",
     "fingerprint",
     "cosine_topk",

@@ -89,6 +89,24 @@ class SnapshotStore:
         with open(os.path.join(self._manifest_dir(), f"v{self.version:06d}.json")) as f:
             return json.load(f).get("meta", {})
 
+    def snapshots(self) -> list[int]:
+        """Retained snapshot versions, ascending (Iceberg: snapshot log)."""
+        out = []
+        for fn in os.listdir(self._manifest_dir()):
+            m = _MANIFEST_RE.match(fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def tables_at(self, version: int) -> dict[str, list[str]]:
+        """The exact table→segments pin of snapshot ``version``."""
+        path = os.path.join(self._manifest_dir(), f"v{version:06d}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)["tables"]
+        except (OSError, json.JSONDecodeError) as e:
+            raise KeyError(f"no retained snapshot v{version}") from e
+
     # -- reads ---------------------------------------------------------------
     def segments(self, table: str) -> list[str]:
         return list(self._tables.get(table, []))
@@ -104,9 +122,19 @@ class SnapshotStore:
             tuple(self._staged_replace.get(table, ())),
         )
 
+    def read_at(self, table: str, version: int) -> DataFrame:
+        """Time-travel read: ``table`` exactly as of snapshot ``version``
+        (Iceberg ``VERSION AS OF``). Works for any retained snapshot —
+        segments are immutable and stay on disk until the snapshot is
+        expired (:meth:`expire_snapshots`) and swept (:meth:`gc`)."""
+        segs = self.tables_at(version).get(table, [])
+        return self._read_segments(table, segs)
+
     def read(self, table: str) -> DataFrame:
         """Snapshot read: union of the committed segments of ``table``."""
-        segs = self.segments(table)
+        return self._read_segments(table, self.segments(table))
+
+    def _read_segments(self, table: str, segs: list[str]) -> DataFrame:
         if not segs:
             schema = self.schemas.get(table)
             if schema is None:
@@ -208,6 +236,16 @@ class SnapshotStore:
         self._staged_replace.clear()
         return new_version
 
+    def rollback_to(self, version: int) -> int:
+        """Roll back to snapshot ``version`` by committing a NEW snapshot
+        that pins that version's segment lists (Iceberg rollback: history
+        only moves forward, data files are reused, the bad snapshots stay
+        readable until expired). Discards anything staged."""
+        tables = self.tables_at(version)
+        self.rollback()
+        self._tables = {t: list(s) for t, s in tables.items()}
+        return self.commit({"op": "rollback", "to": version})
+
     def rollback(self) -> None:
         """Discard staged (uncommitted) segments."""
         self._pending_writes.clear()
@@ -254,9 +292,40 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Delete manifests older than the newest ``keep_last`` snapshots
+        (Iceberg ``expireSnapshots``). Returns the number expired.
+
+        Expiry only removes MANIFESTS — data files a surviving snapshot
+        still pins stay readable; a following :meth:`gc` sweeps segments
+        no retained snapshot references. Split into two steps exactly so
+        time-travel reads of retained snapshots can never break.
+        """
+        versions = self.snapshots()
+        expired = 0
+        for v in versions[: max(0, len(versions) - keep_last)]:
+            if v == self.version:
+                continue  # never expire the current snapshot
+            os.remove(os.path.join(self._manifest_dir(), f"v{v:06d}.json"))
+            expired += 1
+        return expired
+
     def gc(self) -> int:
-        """Remove segment dirs not referenced by the current manifest."""
+        """Remove segment dirs referenced by NO retained snapshot.
+
+        Live = the union over ALL retained manifests (not just the
+        current one): a replace-superseded segment stays on disk while
+        an older snapshot still pins it, so time travel keeps working —
+        run :meth:`expire_snapshots` first to release history.
+        """
         live = {rel for segs in self._tables.values() for rel in segs}
+        for v in self.snapshots():
+            for segs in self.tables_at(v).values():
+                live.update(segs)
+        # this round's staged (uncommitted) segments are live too
+        for staged in (self._staged_appends, self._staged_replace):
+            for segs in staged.values():
+                live.update(segs)
         removed = 0
         for table in os.listdir(self.root):
             tdir = os.path.join(self.root, table)

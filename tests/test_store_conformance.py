@@ -1,0 +1,200 @@
+"""FrontierStore ↔ Iceberg conformance contracts.
+
+The real iceberg-spark-runtime jar is unresolvable in this offline
+sandbox (no network; verified again this round), so the engine runs on
+:class:`SnapshotStore`. These tests pin the exact Iceberg semantics a
+catalog swap relies on — so the "drop-in" claim is TESTED, not asserted:
+
+* snapshot isolation: a reader pinned to a snapshot never sees a
+  concurrent writer's commit (append or replace), including while the
+  writer's changes are staged;
+* time travel: ``read_at(table, version)`` ≡ Iceberg ``VERSION AS OF``
+  for every retained snapshot;
+* expire + GC safety: ``expire_snapshots`` releases history, ``gc``
+  sweeps only segments no retained snapshot pins — a retained
+  snapshot's time-travel read can never break;
+* rollback: ``rollback_to(v)`` restores v's state as a NEW snapshot,
+  reusing data files (history only moves forward).
+
+Reference analogue: the darc RDBMS layer's durability contract
+(darc/model/tasks/requests.py:31-42, darc/db.py) — workers are
+stateless and resume from committed queue state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from darc_spark.sources.store import SnapshotStore
+
+SCHEMA = T.StructType(
+    [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "store"), schemas={"t": SCHEMA})
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_snapshot_isolation_under_concurrent_append_and_replace(
+    spark, store
+):
+    """A reader on snapshot v1 sees v1 forever, even while a concurrent
+    writer stages and commits an append AND a replace on the same root."""
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit({"round": 1})
+
+    reader = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    pinned = reader.read("t")  # plan pinned to v1's segment list
+
+    writer = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    writer.append("t", _df(spark, [("b", 2)]))
+    # staged-but-uncommitted is invisible to everyone else
+    assert _rows(pinned) == [("a", 1)]
+    writer.commit({"round": 2})
+    writer.replace("t", _df(spark, [("c", 3)]))
+    writer.commit({"round": 3})
+
+    # the pinned plan AND fresh reads through the old handle still see v1
+    assert _rows(pinned) == [("a", 1)]
+    assert _rows(reader.read("t")) == [("a", 1)]
+    assert reader.version == v1
+    # a NEW handle sees the writer's latest snapshot
+    fresh = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    assert _rows(fresh.read("t")) == [("c", 3)]
+
+
+def test_time_travel_read_by_snapshot_id(spark, store):
+    """read_at(t, v) reproduces every retained snapshot exactly —
+    Iceberg `SELECT * FROM t VERSION AS OF v`."""
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit()
+    store.append("t", _df(spark, [("b", 2)]))
+    v2 = store.commit()
+    store.replace("t", _df(spark, [("c", 3)]))
+    v3 = store.commit()
+
+    assert store.snapshots() == [v1, v2, v3]
+    assert _rows(store.read_at("t", v1)) == [("a", 1)]
+    assert _rows(store.read_at("t", v2)) == [("a", 1), ("b", 2)]
+    assert _rows(store.read_at("t", v3)) == [("c", 3)]
+    assert _rows(store.read("t")) == _rows(store.read_at("t", v3))
+    with pytest.raises(KeyError):
+        store.read_at("t", 99)
+
+
+def test_gc_preserves_time_travel_until_expiry(spark, store):
+    """GC before expiry must not delete a segment an older retained
+    snapshot pins (the failure mode that silently breaks VERSION AS OF);
+    after expire_snapshots the superseded segments are swept and only
+    then do expired-version reads fail."""
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit()
+    store.replace("t", _df(spark, [("c", 3)]))  # supersedes v1's segment
+    v2 = store.commit()
+
+    # gc with both snapshots retained: v1's segment is still live
+    assert store.gc() == 0
+    assert _rows(store.read_at("t", v1)) == [("a", 1)]
+
+    # expire history, then sweep: exactly v1's segment goes
+    assert store.expire_snapshots(keep_last=1) == 1
+    assert store.gc() == 1
+    assert _rows(store.read("t")) == [("c", 3)]
+    with pytest.raises(KeyError):
+        store.read_at("t", v1)
+    # current snapshot unaffected, resume still works
+    resumed = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    assert resumed.version == v2
+    assert _rows(resumed.read("t")) == [("c", 3)]
+
+
+def test_expire_never_removes_current_snapshot(spark, store):
+    store.append("t", _df(spark, [("a", 1)]))
+    store.commit()
+    assert store.expire_snapshots(keep_last=0) == 0
+    assert store.snapshots() == [store.version]
+
+
+def test_rollback_to_snapshot_reuses_data_files(spark, store):
+    """rollback_to(v1) restores v1's rows via a NEW snapshot whose
+    segment list POINTS AT v1's files (no rewrite), and the rolled-over
+    bad snapshot stays time-travel-readable until expired."""
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit()
+    v1_segs = store.tables_at(v1)["t"]
+    store.replace("t", _df(spark, [("bad", 9)]))
+    v2 = store.commit()
+
+    v3 = store.rollback_to(v1)
+    assert v3 == v2 + 1
+    assert _rows(store.read("t")) == [("a", 1)]
+    assert store.tables_at(v3)["t"] == v1_segs  # file reuse, no rewrite
+    assert _rows(store.read_at("t", v2)) == [("bad", 9)]
+    assert store.latest_meta() == {"op": "rollback", "to": v1}
+    # resume lands on the rolled-back state
+    resumed = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    assert _rows(resumed.read("t")) == [("a", 1)]
+
+
+def test_rollback_to_discards_staged_changes(spark, store):
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit()
+    store.append("t", _df(spark, [("junk", 8)]))  # staged, then abandoned
+    store.rollback_to(v1)
+    assert _rows(store.read("t")) == [("a", 1)]
+
+
+def test_gc_keeps_staged_segments(spark, store):
+    """A mid-round gc must not sweep this round's staged (eagerly
+    written, not yet committed) segments."""
+    store.append("t", _df(spark, [("a", 1)]))
+    store.commit()
+    store.append("t", _df(spark, [("b", 2)]), defer=False)
+    assert store.gc() == 0
+    store.commit()
+    assert _rows(store.read("t")) == [("a", 1), ("b", 2)]
+
+
+def test_concurrent_appends_last_manifest_wins_consistently(spark, store):
+    """Two handles racing a commit to the same version: the atomic
+    manifest rename means exactly ONE complete snapshot lands — a
+    reader can never observe a torn mix of both writers' rows. (The
+    engine is single-writer by design, one driver per store root; this
+    pins the crash-safety property that makes that assumption safe,
+    not Iceberg's full optimistic-retry protocol.)"""
+    a = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    b = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    a.append("t", _df(spark, [("a", 1)]))
+    b.append("t", _df(spark, [("b", 2)]))
+    va = a.commit()
+    vb = b.commit()  # b loaded before a's commit → same base, higher wins
+    assert vb == va  # both wrote v1: the rename race's winner is on disk
+    fresh = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    # exactly one writer's row set is visible — never a torn mix
+    assert _rows(fresh.read("t")) in ([("a", 1)], [("b", 2)])
+
+
+def test_resume_after_expire_and_gc_cycle(spark, store):
+    """A long-running crawl's maintenance loop (commit → expire → gc)
+    never corrupts resume state."""
+    for i in range(5):
+        store.append("t", _df(spark, [(f"k{i}", i)]))
+        store.commit({"round": i})
+        store.expire_snapshots(keep_last=2)
+        store.gc()
+    resumed = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    assert resumed.read("t").count() == 5
+    assert len(resumed.snapshots()) == 2
