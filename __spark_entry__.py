@@ -473,6 +473,53 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB-appropriate percentile path, value-checked: exact
+    ``percentile`` needs a global sort per group, so at scale the report
+    runs on ``approx_percentile`` (t-digest-style sketch, one pass,
+    mergeable). approx_percentile(x, p, acc) guarantees rank error
+    ≤ n/acc, i.e. its result lies between the exact quantiles at
+    p ± 1/acc — this query verifies that bound IN-PLAN (with a 2×
+    margin bracket, floor/ceil-widened because the approx result is an
+    actual data value while the interpolated exact one is fractional)
+    and returns the per-language verdict; the oracle expects TRUE for
+    every language."""
+    (docs,) = _load(spark, sf_dir, "documents")
+    acc = 1000
+    # the guarantee is a RANK bound, so verify in rank space: the approx
+    # result (an actual data value) occupies 0-based ranks [lt, le-1]
+    # (lt = #values strictly below it, le = #values ≤ it); that interval
+    # must overlap [p·n − err, p·n + err] with err = n/acc + 1 (the +1
+    # absorbs the target-rank definition offset)
+    agg = docs.groupBy("lang").agg(
+        F.expr(f"approx_percentile(n_chars, 0.5, {acc})").alias("a50"),
+        F.expr(f"approx_percentile(n_chars, 0.9, {acc})").alias("a90"),
+    )
+    joined = docs.join(F.broadcast(agg), "lang")
+    rk = joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("n_chars") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("n_chars") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("n_chars") < F.col("a90")).cast("long")).alias("lt90"),
+        F.sum((F.col("n_chars") <= F.col("a90")).cast("long")).alias("le90"),
+    )
+
+    def ok(p: float, lt: str, le: str) -> F.Column:
+        target = F.col("n_docs").cast("double") * p
+        err = F.col("n_docs").cast("double") / acc + 1.0
+        return (F.col(lt).cast("double") <= target + err) & (
+            F.col(le).cast("double") - 1.0 >= target - err
+        )
+
+    return rk.select(
+        "lang",
+        "n_docs",
+        (ok(0.5, "lt50", "le50") & ok(0.9, "lt90", "le90")).alias(
+            "within_bound"
+        ),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
     pair graph (cluster → keep canonical copy), labels = min member id.
@@ -961,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "quality_percentiles": q_quality_percentiles,
+        "quality_percentiles_approx": q_quality_percentiles_approx,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1729,6 +1777,13 @@ SELECT lang,
        CAST(floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
        CAST(floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_e6,
        CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""",
+        # the sketch path's contract: the rank-error bound holds for
+        # every language (the Spark query computes the verdict in-plan
+        # against the exact bracket quantiles)
+        "quality_percentiles_approx": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, true AS within_bound
 FROM documents GROUP BY 1
 """,
         "quality_score": q_quality,

@@ -84,6 +84,18 @@ class CrawlConfig:
     # last robots/sitemap/hosts.txt fetch is older than this many rounds are
     # force-refetched on next claim. None = never (reference TIME_CACHE=None).
     time_cache_rounds: int | None = None
+    # wall-clock lease mode (darc's TIME_CACHE is seconds-denominated,
+    # darc/const.py:134-139; deployments set 30-day leases,
+    # docker-compose.yml:103). "time" makes the staleness cutoff a real
+    # timestamp comparison: each round records its wall-clock start in
+    # the commit manifest, and a host is stale when its last fetch
+    # happened in a round that STARTED more than time_cache_seconds ago.
+    # Rounds stay the event-log denomination — no schema change; the
+    # manifest provides the round→timestamp mapping (resume-safe).
+    lease_mode: str = "round"  # "round" | "time"
+    time_cache_seconds: float | None = None
+    # injectable clock for tests; None = time.time
+    clock: "Callable[[], float] | None" = None
     user_agent: str = "darc-spark"
     seconds_per_round: int = 1  # maps robots Crawl-delay seconds → rounds
     selenium_enabled: bool = True
@@ -140,6 +152,50 @@ class Crawler:
             filter_kind=self.cfg.filter_kind,
         )
         self.round = int(self.store.latest_meta().get("round", -1)) + 1
+        # wall-clock lease support: round → wall-clock start, rebuilt
+        # from committed manifest metas so a resumed run keeps the full
+        # timeline (time-mode leases survive a kill exactly like state)
+        import time as _time
+
+        self.clock = self.cfg.clock or _time.time
+        self._round_ts: dict[int, float] = {}
+        for meta in self._all_manifest_metas():
+            if "round" in meta and "ts" in meta:
+                self._round_ts[int(meta["round"])] = float(meta["ts"])
+
+    def _all_manifest_metas(self) -> list[dict]:
+        import json as _json
+        import os as _os
+        import re as _re
+
+        out = []
+        mdir = _os.path.join(self.store.root, "_manifests")
+        for fn in sorted(_os.listdir(mdir)):
+            if not _re.match(r"^v\d{6}\.json$", fn):
+                continue
+            with open(_os.path.join(mdir, fn)) as f:
+                out.append(_json.load(f).get("meta", {}))
+        return out
+
+    def _time_cache_cutoff(self, r: int) -> int | None:
+        """The round below which a host's last robots fetch counts as
+        stale, or None when TIME_CACHE is off. Round mode: r − k.
+        Time mode: the smallest recorded round whose wall-clock start is
+        still inside the window (timestamps are monotone in round, so
+        "fetched before that round" ⇔ "fetched more than
+        time_cache_seconds ago")."""
+        cfg = self.cfg
+        if cfg.lease_mode == "time":
+            if cfg.time_cache_seconds is None:
+                return None
+            horizon = self._round_now - cfg.time_cache_seconds
+            for rr in sorted(self._round_ts):
+                if self._round_ts[rr] >= horizon:
+                    return rr
+            return r  # every recorded round is outside the window
+        if cfg.time_cache_rounds is not None:
+            return r - cfg.time_cache_rounds
+        return None
 
     # -- seeding ---------------------------------------------------------------
     def seed(self, urls: list[str]) -> None:
@@ -248,8 +304,9 @@ class Crawler:
             .agg(F.max("fetch_round").alias("_lf"))
         )
         stale = F.col("_lf").isNull()  # never fetched ⇒ new host
-        if self.cfg.time_cache_rounds is not None:
-            stale = stale | (F.col("_lf") < F.lit(r - self.cfg.time_cache_rounds))
+        cutoff = self._time_cache_cutoff(r)
+        if cutoff is not None:
+            stale = stale | (F.col("_lf") < F.lit(cutoff))
         new_hosts = self.store.write_scratch(
             "new_hosts",
             hosts.join(last_fetch, "hostname", "left")
@@ -878,6 +935,10 @@ class Crawler:
     # -- round driver ---------------------------------------------------------
     def run_round(self) -> dict[str, float]:
         r = self.round
+        # wall-clock round start: drives time-mode leases and rides in
+        # the commit manifest so a resumed run keeps the timeline
+        self._round_now = self.clock()
+        self._round_ts[r] = self._round_now
         metrics = self._requests_stage(r)
         if self.cfg.selenium_enabled:
             metrics.update(self._selenium_stage(r))
@@ -922,7 +983,9 @@ class Crawler:
             self.store.replace(
                 "robots_rules", self._rules_rows_df(latest_docs), drop_staged=True
             )
-        self.store.commit({"round": r, "metrics": metrics})
+        self.store.commit(
+            {"round": r, "metrics": metrics, "ts": self._round_now}
+        )
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests
         # a graceful stop AFTER this committed round — metrics are kept.

@@ -84,6 +84,109 @@ def test_time_cache_engine_sim_equivalence(spark, tmp_path):
     assert all(f[2].rstrip("/").endswith(host) for f in late), late
 
 
+def _stepper(seconds_per_round: float):
+    """Deterministic clock: call k returns k*seconds_per_round (one call
+    per round — run_round samples the clock exactly once). Function-local
+    closure so cloudpickle ships it by value if it ever reaches a UDF."""
+    state = {"k": -1}
+
+    def clock() -> float:
+        state["k"] += 1
+        return state["k"] * seconds_per_round
+
+    return clock
+
+
+def test_time_mode_equivalent_to_round_mode(spark, tmp_path):
+    """Wall-clock lease ≡ round lease under a fixed seconds-per-round
+    clock: time_cache_seconds = k·spr with rounds starting spr apart
+    produces EXACTLY the fetch history of time_cache_rounds = k — so a
+    deployed 30-day lease (darc docker-compose TIME_CACHE) maps directly
+    onto the engine's round-denominated state with no schema change."""
+    spr = 300.0
+    cfg_time = CrawlConfig(
+        per_host=4,
+        lease=2,
+        max_retries=0,
+        revisit=2,
+        lease_mode="time",
+        time_cache_seconds=2 * spr,
+        clock=_stepper(spr),
+        selenium_enabled=False,
+        n_filter_buckets=4,
+    )
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+    rounds, flip = 6, 2
+
+    timed = Crawler(spark, str(tmp_path / "time"), web, cfg_time)
+    timed.seed(web.seeds())
+    _run_with_flip(timed, web, host, flip, rounds)
+
+    rounded = Crawler(spark, str(tmp_path / "round"), web, CFG)
+    rounded.seed(web.seeds())
+    _run_with_flip(rounded, web, host, flip, rounds)
+
+    def fetch_set(c):
+        return {
+            tuple(r)
+            for r in c.store.read("fetches")
+            .select(
+                "fetch_round", "hostname", "url", "status_code",
+                "is_html", "n_links",
+            )
+            .collect()
+        }
+
+    assert fetch_set(timed) == fetch_set(rounded)
+    docs_t = timed.store.read("robots_docs").filter(F.col("hostname") == host)
+    docs_r = rounded.store.read("robots_docs").filter(F.col("hostname") == host)
+    assert sorted(r["fetch_round"] for r in docs_t.collect()) == sorted(
+        r["fetch_round"] for r in docs_r.collect()
+    )
+    assert docs_t.count() >= 2  # the wall-clock lease DID re-fetch
+
+
+def test_time_mode_lease_survives_resume(spark, tmp_path):
+    """The round→timestamp timeline rides in the commit manifests: a
+    resumed crawler reloads it, and a lease that expires across the
+    restart still triggers the robots re-fetch."""
+    spr = 100.0
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+
+    def mk_cfg(clock):
+        return CrawlConfig(
+            per_host=4, lease=2, max_retries=0, revisit=2,
+            lease_mode="time", time_cache_seconds=3 * spr, clock=clock,
+            selenium_enabled=False, n_filter_buckets=4,
+        )
+
+    c1 = Crawler(spark, str(tmp_path / "res"), web, mk_cfg(_stepper(spr)))
+    c1.seed(web.seeds())
+    c1.run_round()
+    c1.run_round()
+
+    # resume in a new instance: timeline reloaded from manifests
+    clock2 = _stepper(spr)
+    clock2()  # skip k=0
+    clock2()  # skip k=1 — next call yields round 2's timestamp
+    c2 = Crawler(spark, str(tmp_path / "res"), web, mk_cfg(clock2))
+    assert c2.round == 2
+    assert c2._round_ts == {0: 0.0, 1: spr}
+    c2.run_round()  # round 2 @ t=200: lease (300s) not expired
+    c2.run_round()  # round 3 @ t=300: age == window — boundary, fresh
+    base_docs = (
+        c2.store.read("robots_docs").filter(F.col("hostname") == host).count()
+    )
+    assert base_docs == 1
+    c2.run_round()  # round 4 @ t=400: round 0's fetch is 400s old > 300s
+    docs = (
+        c2.store.read("robots_docs").filter(F.col("hostname") == host).count()
+    )
+    assert docs > base_docs, "expired wall-clock lease did not re-fetch"
+
+
 def test_no_refetch_without_lease(spark, tmp_path):
     """time_cache_rounds=None (default) preserves fetch-once semantics."""
     web = SynthWeb(seed=7, pages_per_host=20, branching=3)
