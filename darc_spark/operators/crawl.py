@@ -77,8 +77,12 @@ class CrawlConfig:
     salt_shards: int = 8
     # hot-host salt escalation: hosts with more pending rows than this get
     # proportionally more phase-1 shards (north rule skew handling);
-    # result-identical for any threshold, so on by default
-    escalate_above: int | None = 1 << 16
+    # result-identical for any threshold, so on by default. "auto" derives
+    # the threshold each round from the PREVIOUS round's host-pending
+    # metrics in the commit manifest (8× the mean pending per host,
+    # floored at per_host·salt_shards) — a host that becomes hot
+    # mid-crawl escalates with no config change.
+    escalate_above: "int | str | None" = 1 << 16
     robots_enabled: bool = True  # FORCE=0 (darc/const.py)
     # hostname-gate lease (darc TIME_CACHE, darc/db.py:293-318): hosts whose
     # last robots/sitemap/hosts.txt fetch is older than this many rounds are
@@ -176,6 +180,28 @@ class Crawler:
             with open(_os.path.join(mdir, fn)) as f:
                 out.append(_json.load(f).get("meta", {}))
         return out
+
+    def _escalation_threshold(self) -> int | None:
+        """Resolve the hot-host salt-escalation threshold for this round.
+
+        Static int/None pass through. "auto" reads the previous round's
+        ``host_pending_mean`` from the last commit manifest: a host is
+        escalated when its pending exceeds 8× the fleet mean (floored at
+        per_host·salt_shards so quiet crawls never escalate). Escalation
+        is result-identical for ANY threshold (politeness.per_host_top_k
+        phase 2 re-ranks with the full total order), so the derived value
+        only shapes phase-1 task sizes — there is no correctness risk in
+        the heuristic."""
+        cfg = self.cfg
+        if cfg.escalate_above != "auto":
+            return cfg.escalate_above
+        floor = max(1, cfg.per_host * cfg.salt_shards)
+        mean = self.store.latest_meta().get("metrics", {}).get(
+            "host_pending_mean"
+        )
+        if not mean:
+            return floor * 4  # cold start: no history yet
+        return max(floor, int(mean * 8))
 
     def _time_cache_cutoff(self, r: int) -> int | None:
         """The round below which a host's last robots fetch counts as
@@ -673,7 +699,7 @@ class Crawler:
             salt_shards=cfg.salt_shards,
             robots_delays=self._robots_delays() if cfg.robots_enabled else None,
             hostname_state=self._hostname_state(),
-            escalate_above=cfg.escalate_above,
+            escalate_above=self._round_escalate,
         )
         keep, n_claimed = self._claim_filters(claimed, self.fr_req, r)
         m = {"claimed_requests": float(n_claimed)}
@@ -817,7 +843,7 @@ class Crawler:
             per_host=cfg.per_host,
             lease=cfg.lease,
             salt_shards=cfg.salt_shards,
-            escalate_above=cfg.escalate_above,
+            escalate_above=self._round_escalate,
         )
         keep, n_claimed = self._claim_filters(claimed, self.fr_sel, r)
         m = {"claimed_selenium": float(n_claimed)}
@@ -939,6 +965,8 @@ class Crawler:
         # the commit manifest so a resumed run keeps the timeline
         self._round_now = self.clock()
         self._round_ts[r] = self._round_now
+        # one resolved escalation threshold per round (both stages)
+        self._round_escalate = self._escalation_threshold()
         metrics = self._requests_stage(r)
         if self.cfg.selenium_enabled:
             metrics.update(self._selenium_stage(r))
@@ -983,6 +1011,19 @@ class Crawler:
             self.store.replace(
                 "robots_rules", self._rules_rows_df(latest_docs), drop_staged=True
             )
+        if self.cfg.escalate_above == "auto":
+            # host-pending stats for NEXT round's threshold: one columnar
+            # scan+agg over the frontier event log (hostname column only)
+            st = (
+                self.store.read_all(self.fr_req.t_frontier)
+                .groupBy("hostname")
+                .count()
+                .agg(F.avg("count").alias("m"), F.max("count").alias("x"))
+                .head()
+            )
+            metrics["host_pending_mean"] = float(st["m"] or 0.0)
+            metrics["host_pending_max"] = float(st["x"] or 0.0)
+            metrics["escalate_threshold"] = float(self._round_escalate)
         self.store.commit(
             {"round": r, "metrics": metrics, "ts": self._round_now}
         )

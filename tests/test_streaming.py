@@ -145,3 +145,70 @@ def test_event_windows_stream_drops_late_data(spark, tmp_path):
     }
     # the 00:00 window emitted exactly once, WITHOUT the 2 late rows
     assert out[("2026-01-01 00:00:00", "click")] == 3, out
+
+
+def test_url_seen_dedup_stream_exactly_once_after_midcommit_kill(
+    spark, tmp_path
+):
+    """Crash surgically BETWEEN sink write and checkpoint commit: run a
+    batch to completion, then delete its entry from the checkpoint's
+    commit log — exactly the on-disk state a kill leaves after the
+    parquet sink wrote its files but before the offset commit finalized.
+    On restart Spark MUST replay the batch; the file sink's own
+    transaction log has to dedupe the replayed files so readers see each
+    URL exactly once."""
+    import glob
+
+    from darc_spark.streaming import url_seen_dedup_stream
+
+    seed_dir = str(tmp_path / "seeds")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    q = url_seen_dedup_stream(spark, seed_dir, ckpt, out_dir)
+    try:
+        with open(os.path.join(seed_dir, "b1.txt"), "w") as f:
+            f.write("http://a.example/1\nhttp://b.onion/x\n")
+        q.processAllAvailable()
+        with open(os.path.join(seed_dir, "b2.txt"), "w") as f:
+            f.write("http://c.i2p/y\nhttp://a.example/1\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # un-commit the LAST batch (sink data files + state already on disk)
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    assert len(commits) >= 2
+    os.remove(commits[-1])
+    # Hadoop's local FS keeps a sidecar checksum; a stale one makes the
+    # re-written commit entry unreadable (a real kill removes neither)
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # restart: the un-committed batch replays against state version N-1
+    q2 = url_seen_dedup_stream(spark, seed_dir, ckpt, out_dir)
+    try:
+        q2.processAllAvailable()
+        # and the stream keeps going afterwards
+        with open(os.path.join(seed_dir, "b3.txt"), "w") as f:
+            f.write("http://d.example/z\nhttp://c.i2p/y\n")
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = [r["url"] for r in spark.read.parquet(out_dir).collect()]
+    # exactly-once: no URL emitted twice despite the replay
+    assert sorted(rows) == sorted(set(rows)), rows
+    assert set(rows) == {
+        "http://a.example/1",
+        "http://b.onion/x",
+        "http://c.i2p/y",
+        "http://d.example/z",
+    }
