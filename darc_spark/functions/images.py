@@ -13,9 +13,9 @@ PIL is not in this container, so:
 * ``encode_lossy``/``decode_lossy`` — deterministic quantizing codec
   (PNG container, fmt tag ``qpng``): step-4 quantization ⇒ PSNR ≈ 47 dB,
   exercising the ≥40 dB invariant without a JPEG library.
-* ``decode_jpeg`` — the real-JPEG path, STUBBED: raises
-  NotImplementedError unless PIL is importable at runtime. The Spark-side
-  plumbing (binary column, batch UDF shape) is identical either way.
+* ``decode_jpeg`` — the real-JPEG path: PIL when importable, else the
+  pure-Python baseline codec in :mod:`darc_spark.functions.jpeg`
+  (implemented from the public ITU T.81 spec) — no stub either way.
 * ``phash64`` — 64-bit average perceptual hash (8×8 block-mean), used
   for the ``phash`` column and near-dup checks.
 
@@ -133,20 +133,38 @@ def decode_lossy(data: bytes) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Real-JPEG decode — container lacks an image library: STUB.
+    """Real-JPEG decode.
 
-    The Spark plumbing (binary column in, HxWx3 uint8 out) is identical
-    to the PNG path; swap in PIL on a real cluster.
+    PIL when importable (C-speed, the production path on a real
+    cluster); otherwise the pure-Python baseline decoder implemented
+    from the public spec (:mod:`darc_spark.functions.jpeg`) — no stub,
+    real lossy coverage either way. Binary column in, HxWx3 uint8 out.
     """
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - exercised only with PIL
-        raise NotImplementedError(
-            "JPEG decode requires PIL, not present in this container"
-        ) from exc
+    except ImportError:
+        from darc_spark.functions.jpeg import decode_jpeg_py
+
+        return decode_jpeg_py(data)
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def smooth_pixels(rng: np.random.Generator, side: int) -> np.ndarray:
+    """Deterministic low-frequency RGB test image (per-channel sinusoid
+    fields) — the JPEG-friendly content class: pure noise is the one
+    signal JPEG cannot compress faithfully, and real crawl payloads are
+    photographs, not noise."""
+    yy, xx = np.mgrid[0:side, 0:side] / max(side, 1)
+    img = np.empty((side, side, 3))
+    for c in range(3):
+        base = rng.uniform(64, 192)
+        amp = rng.uniform(16, 60)
+        fx, fy = rng.uniform(0.5, 2.5, size=2)
+        ph = rng.uniform(0, 2 * np.pi)
+        img[..., c] = base + amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 _DECODERS = {"png": decode_png, "qpng": decode_lossy, "jpeg": decode_jpeg}

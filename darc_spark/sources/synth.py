@@ -28,7 +28,42 @@ import struct
 import numpy as np
 import pandas as pd
 
-from darc_spark.functions.images import encode_lossy, encode_png, phash64
+from darc_spark.functions.images import (
+    encode_lossy,
+    encode_png,
+    phash64,
+    smooth_pixels,
+)
+
+
+def image_payload(ih: int, side: int) -> tuple[np.ndarray, str, bytes]:
+    """(pixels, fmt, encoded bytes) for payload hash ``ih`` — the shared
+    pure function behind page payloads, the image_table corpus, and the
+    PSNR oracle (original pixels re-derivable from ih alone).
+
+    Three codec classes, round-robin by hash: deterministic-lossy qpng
+    and lossless PNG over noise content, plus REAL baseline JPEG (the
+    pure-Python codec, darc_spark/functions/jpeg.py) over smooth
+    low-frequency content — the class real photographs belong to, where
+    the PSNR≥40dB invariant is meaningful (JPEG on pure noise cannot
+    exceed ~36dB at any sane quality, by design of the codec).
+    """
+    from darc_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(ih)
+    sel = (ih >> 8) % 3
+    if sel == 2:
+        arr = smooth_pixels(rng, side)
+        # q97: the PSNR≥40dB invariant must hold for EVERY row, and the
+        # smallest payload tiles (16px) are proportionally blockier —
+        # measured worst case over 1000+ seeds/sides: q95→38.9dB,
+        # q97→42.2dB. Archival-quality JPEG is the honest setting for a
+        # hard per-row fidelity bound.
+        return arr, "jpeg", encode_jpeg(arr, quality=97)
+    arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+    if sel == 0:
+        return arr, "qpng", encode_lossy(arr)
+    return arr, "png", encode_png(arr)
 
 VOCAB = (
     "amber basalt cobalt dune ember fjord garnet harbor iris juniper krill "
@@ -330,15 +365,13 @@ class SynthWeb:
                 )
                 return out
             side = 16 + int(ih % 3) * 8
-            arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
-            lossy = (ih >> 8) % 2 == 0
-            data = encode_lossy(arr) if lossy else encode_png(arr)
+            arr, fmt, data = image_payload(ih, side)
             out.update(
                 image_id=f"img-{host}-{kind}-{pid}",
                 bytes=data,
                 w=side,
                 h=side,
-                fmt="qpng" if lossy else "png",
+                fmt=fmt,
                 caption=" ".join(words),
                 phash=phash64(arr),
             )
@@ -348,28 +381,25 @@ class SynthWeb:
         """Oracle access to pre-encode pixels (for the PSNR invariant)."""
         _, host, kind, pid = image_id.split("-")
         ih = self._h(host, kind, int(pid), "img")
-        rng = np.random.default_rng(ih)
         side = 16 + int(ih % 3) * 8
-        return rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+        return image_payload(ih, side)[0]
 
     def image_row(self, i: int) -> dict:
         """One input_hint image row — a pure function of (seed, i), so
         the driver-side oracle export can enumerate the exact payloads
         the distributed :meth:`image_table` generates."""
-        from darc_spark.functions.images import encode_lossy, encode_png, phash64
+        from darc_spark.functions.images import phash64
 
         ih = self._h("imgtable", i)
-        rng = np.random.default_rng(ih)
         side = 16 + (ih % 3) * 8
-        arr = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
-        lossy = (ih >> 8) % 2 == 0
+        arr, fmt, data = image_payload(ih, side)
         words = [VOCAB[(ih >> (4 * k)) % len(VOCAB)] for k in range(6)]
         return {
             "image_id": f"img{i:08d}",
-            "bytes": encode_lossy(arr) if lossy else encode_png(arr),
+            "bytes": data,
             "w": side,
             "h": side,
-            "fmt": "qpng" if lossy else "png",
+            "fmt": fmt,
             "caption": " ".join(words),
             "phash": phash64(arr),
         }

@@ -1,0 +1,125 @@
+"""Pure-Python baseline JPEG codec (darc_spark/functions/jpeg.py).
+
+The real lossy path of the image payload pipeline (VERDICT r3 item 5 —
+`decode_jpeg` must stop being a stub). Checks: roundtrip fidelity on
+photograph-like content, 4:2:0 + restart-interval decode paths, odd
+geometry, determinism, malformed-stream rejection, and the corpus
+contract (a third of payloads are real JPEGs meeting the PSNR≥40dB
+invariant). Differential vs PIL when available (not in this container).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from darc_spark.functions.images import decode_image, psnr, smooth_pixels
+from darc_spark.functions.jpeg import decode_jpeg_py, encode_jpeg
+from darc_spark.sources.synth import image_payload
+
+
+def _smooth(seed: int, side: int = 48) -> np.ndarray:
+    return smooth_pixels(np.random.default_rng(seed), side)
+
+
+def test_roundtrip_psnr_444():
+    for seed in range(5):
+        img = _smooth(seed)
+        dec = decode_jpeg_py(encode_jpeg(img, quality=92))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) >= 40.0
+
+
+def test_roundtrip_psnr_420_subsampled():
+    """4:2:0 exercises the multi-block MCU + chroma upsampling decode
+    path. Chroma halving costs real fidelity on fast-varying chroma
+    fields, so the bar here is structural correctness (high-30s PSNR),
+    not the corpus invariant — the corpus uses 4:4:4."""
+    for seed in range(3):
+        img = _smooth(seed, 64)
+        dec = decode_jpeg_py(encode_jpeg(img, quality=92, subsample=True))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) >= 33.0
+
+
+def test_quality_monotonic():
+    img = _smooth(7)
+    p = [
+        psnr(img, decode_jpeg_py(encode_jpeg(img, quality=q)))
+        for q in (30, 60, 92)
+    ]
+    assert p[0] < p[1] < p[2]
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers: byte-identical reconstruction to the
+    no-restart stream's decode (restarts change framing, not content)."""
+    img = _smooth(3, 56)
+    plain = decode_jpeg_py(encode_jpeg(img, quality=92))
+    restarted = decode_jpeg_py(
+        encode_jpeg(img, quality=92, restart_interval=2)
+    )
+    assert (plain == restarted).all()
+    data = encode_jpeg(img, quality=92, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+
+
+def test_odd_geometry_and_padding():
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (7, 9), (8, 8), (15, 17), (5, 16), (17, 31)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for sub in (False, True):
+            dec = decode_jpeg_py(encode_jpeg(img, quality=95, subsample=sub))
+            assert dec.shape == img.shape, (shape, sub)
+
+
+def test_deterministic_bytes():
+    img = _smooth(5)
+    assert encode_jpeg(img, quality=92) == encode_jpeg(img, quality=92)
+
+
+def test_rejects_non_baseline_and_garbage():
+    img = _smooth(1, 16)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg_py(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg_py(b"not a jpeg at all")
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg_py(encode_jpeg(img)[:40])  # truncated
+
+
+def test_decode_image_dispatch_uses_real_decoder():
+    """fmt="jpeg" through the production dispatch decodes without PIL."""
+    img = _smooth(9, 32)
+    dec = decode_image(encode_jpeg(img, quality=92), "jpeg")
+    assert psnr(img, dec) >= 40.0
+
+
+def test_corpus_contains_real_jpegs_meeting_invariant():
+    """image_payload: a third of payloads are baseline JPEG; every one
+    decodes to ≥40dB vs its pre-encode pixels, and the bytes are real
+    JFIF streams (SOI + JFIF APP0)."""
+    fmts = {"png": 0, "qpng": 0, "jpeg": 0}
+    for ih in range(0, 6000, 100):
+        arr, fmt, data = image_payload(ih * 7919 + 13, 32)
+        fmts[fmt] += 1
+        if fmt == "jpeg":
+            assert data[:2] == b"\xff\xd8" and data[6:10] == b"JFIF"
+            assert psnr(arr, decode_jpeg_py(data)) >= 40.0
+    assert all(v > 0 for v in fmts.values()), fmts
+
+
+def test_differential_vs_pil_if_available():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _smooth(21, 40)
+    data = encode_jpeg(img, quality=92)
+    ours = decode_jpeg_py(data)
+    theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    # same bitstream, two decoders: IDCT rounding differs by ≤ a few LSB
+    assert psnr(ours, theirs) >= 45.0

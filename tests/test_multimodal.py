@@ -42,15 +42,26 @@ def test_image_features(spark):
 
 
 def test_image_features_bad_payload_never_throws(spark):
+    from darc_spark.functions.jpeg import encode_jpeg
+    from darc_spark.functions.images import smooth_pixels
+
+    import numpy as np
+
+    good_jpeg = encode_jpeg(smooth_pixels(np.random.default_rng(4), 16))
     df = spark.createDataFrame(
         [("bad1", bytearray(b"not a png"), "png"), ("bad2", None, "png"),
-         ("stub", bytearray(b"\xff\xd8\xff"), "jpeg")],
+         ("badj", bytearray(b"\xff\xd8\xff"), "jpeg"),
+         ("okj", bytearray(good_jpeg), "jpeg")],
         "image_id string, bytes binary, fmt string",
     )
     rows = {r["image_id"]: r for r in image_features(df).collect()}
     assert rows["bad1"]["decode_error"] is not None
     assert rows["bad2"]["decode_error"] is not None
-    assert rows["stub"]["decode_error"].startswith("stub:")  # PIL-gated path
+    # real decoder (no PIL in this container): truncated JPEG → error
+    # row, valid JPEG → decoded features — never a thrown task
+    assert rows["badj"]["decode_error"] is not None
+    assert rows["okj"]["decode_error"] is None
+    assert (rows["okj"]["dec_w"], rows["okj"]["dec_h"]) == (16, 16)
 
 
 def test_resize_images(spark):
