@@ -678,13 +678,32 @@ def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-banded candidates + exact
-    verify). Threshold 0.35: the synthetic embeddings are near-orthogonal
-    (max pairwise cosine ~0.5), so this exercises the contract with a
-    non-trivial result set."""
+    verify) in the regime the operator exists for: the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ~0.5), so true
+    near-dups are INJECTED — vec_id<20 perturbed by +0.05 on element 1
+    (unit vectors ⇒ cosine ≈ 0.999 vs the original) — and the query
+    runs at threshold 0.9 with selective 8-bit bands. The oracle
+    mirrors injection, banding, and verify exactly, so both recall
+    (which pairs collide) and the exact cosine are value-checked.
+    All arithmetic is double on both sides (bit-identical e6 floors)."""
     from darc_spark.functions.similarity import cosine_near_pairs
 
     (emb,) = _load(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(emb, threshold=0.35, n_bits=16, dims=64).select(
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    dup = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + F.lit(0.05)),
+            F.transform(
+                F.slice("embedding", 2, 63), lambda x: x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    emb2 = base.unionByName(dup)
+    return cosine_near_pairs(
+        emb2, threshold=0.9, n_bits=16, dims=64, band_bits=8
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.floor(F.col("cosine") * 1000000 + 0.5).cast("long").alias("cosine_e6"),
@@ -1880,11 +1899,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 200
 """,
         "cosine_near_pairs": f"""
-WITH sigs AS (
-  SELECT vec_id, embedding, ({_sig_expr_duck(16, 64)}) AS sig FROM embeddings
+WITH emb2 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+                     list_transform(embedding[2:64], x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id < 20
+), sigs AS (
+  SELECT vec_id, embedding, ({_sig_expr_duck(16, 64)}) AS sig FROM emb2
 ), banded AS (
-  SELECT vec_id, b AS band_idx, (sig >> (b * 4)) & 15 AS band_val
-  FROM sigs, (VALUES (0), (1), (2), (3)) t(b)
+  SELECT vec_id, b AS band_idx, (sig >> (b * 8)) & 255 AS band_val
+  FROM sigs, (VALUES (0), (1)) t(b)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM banded a JOIN banded b
@@ -1900,12 +1928,12 @@ WITH sigs AS (
               * sqrt(list_reduce(list_transform(range(1, len(eb.embedding)+1),
                 j -> CAST(eb.embedding[j] AS DOUBLE) * CAST(eb.embedding[j] AS DOUBLE)), (x, y) -> x + y))) AS cosine
   FROM cand
-  JOIN embeddings ea ON ea.vec_id = id_a
-  JOIN embeddings eb ON eb.vec_id = id_b
+  JOIN emb2 ea ON ea.vec_id = id_a
+  JOIN emb2 eb ON eb.vec_id = id_b
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
-FROM scored WHERE cosine >= 0.35
+FROM scored WHERE cosine >= 0.9
 """,
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole

@@ -68,13 +68,21 @@ def cosine_topk(
 
 
 def signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH signature (bit i = dot(v, plane_i) >= 0)."""
-    sig = None
+    """Sign-bit LSH signature (bit i = dot(v, plane_i) >= 0).
+
+    Built with shiftleft + bitwise OR, not integer literals + addition:
+    bit 63 (1<<63) overflows a signed long literal, and long ADDITION of
+    that bit pattern errors under ANSI mode — OR of shifted bits is the
+    overflow-free construction for full-width 64-bit signatures."""
+    sig: Column = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     for i, p in enumerate(planes):
         pc = F.array(*[F.lit(float(v)) for v in p])
-        bit = F.when(dot(vec_col, pc) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("long")
+        bit = F.when(
+            dot(vec_col, pc) >= 0, F.shiftleft(one, i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
 
 
 def lsh_signatures(
@@ -121,9 +129,9 @@ def ann_lsh_topk(
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.99,
-    n_bits: int = 16,
+    n_bits: int = 64,
     dims: int = 64,
-    band_bits: int = 4,
+    band_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -138,7 +146,16 @@ def cosine_near_pairs(
     value-checked, and the unit test measures recall vs brute force.
 
     Scale: bucket sizes are bounded by rows agreeing on a specific
-    ``band_bits``-bit signature slice — never an all-pairs cross join.
+    ``band_bits``-bit signature slice — never an all-pairs cross join —
+    and **band entropy must scale with the corpus**: candidate volume is
+    Σ bucket², so the number of distinct (band_idx, band_val) keys has
+    to dwarf sqrt(candidate budget). The defaults (64-bit signature, 4
+    bands of 16 bits → 65536 buckets per band) are the 10^8-10^10-row
+    shape; at the near-dup thresholds this operator exists for (≥0.9
+    cosine ⇒ per-bit agreement ≳0.95) a 16-bit band still collides with
+    p≈0.45, so 4 bands give ≈90% recall per pair. Narrow bands (e.g.
+    4 bits) only make sense for permissive-similarity mining on small
+    corpora — they collapse to ~n²/2^band_bits candidates at scale.
     The band self-join carries **ids only** (like
     :func:`hamming_near_pairs`); embeddings are re-joined by id after the
     candidate set is deduplicated, so the candidate shuffle never ships

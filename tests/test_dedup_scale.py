@@ -104,13 +104,51 @@ def test_cosine_near_pairs_contract(spark):
         for i, j in zip(*iu)
         if C[i, j] >= 0.35
     }
+    # permissive-similarity mining on a small corpus: NARROW bands
+    # (4 bits) so weakly-similar vectors still collide; the scale
+    # defaults use 16-bit bands, see the near-dup recall test below
     got = {
         (r["id_a"], r["id_b"])
-        for r in cosine_near_pairs(emb, threshold=0.35).collect()
+        for r in cosine_near_pairs(
+            emb, threshold=0.35, n_bits=16, band_bits=4
+        ).collect()
     }
     assert got, "expected a non-empty near-dup set"
     assert got <= brute  # no false positives (exact verify)
     assert len(got) / len(brute) > 0.3  # banding keeps useful recall
+
+
+def test_cosine_near_dup_recall_at_scale_defaults(spark):
+    """The regime the operator exists for: true near-duplicates
+    (cosine ≥ 0.99) against the SCALE defaults (64-bit signature,
+    16-bit bands — 65536 buckets per band). Inject one perturbed copy
+    per base vector; recall of the injected pairs must stay high even
+    with maximally-selective bands."""
+    from pyspark.sql import functions as F
+
+    from darc_spark.functions.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    n_inject = 50
+    dup = emb.filter(F.col("vec_id") < n_inject).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + F.lit(0.03)),
+            F.transform(F.slice("embedding", 2, 63), lambda x: x.cast("double")),
+        ).alias("embedding"),
+    )
+    pairs = cosine_near_pairs(
+        base.unionByName(dup), threshold=0.99
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(1 for i in range(n_inject) if (i, i + 1000000) in got)
+    # P(16-bit band collides) ≈ 0.9²⁰ per-bit agreement ⇒ ~4 bands
+    # give ≥ ~85% expected recall; 0.7 is a safe deterministic floor
+    assert hits / n_inject >= 0.7, f"recall {hits}/{n_inject}"
+    # no false positives: every returned pair is a true ≥0.99 pair
+    assert all(r["cosine"] >= 0.99 for r in pairs)
 
 
 def test_connected_components_matches_union_find(spark):
