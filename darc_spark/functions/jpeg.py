@@ -224,7 +224,11 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        # truncate like _BitWriter does — without the mask acc grows into
+        # an unbounded int and every shift copies it: O(scan²) decode
+        self.acc &= (1 << self.n) - 1
+        return bit
 
     def read_bits(self, k: int) -> int:
         v = 0
@@ -512,6 +516,15 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns != len(frame["comps"]):
+                # legal baseline can split components across scans; this
+                # decoder supports the single interleaved scan only —
+                # reject per the documented ValueError contract instead
+                # of KeyError-ing mid-MCU
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG unsupported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)"
+                )
             scan_tabs = {}
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i], payload[2 + 2 * i]

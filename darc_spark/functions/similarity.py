@@ -115,6 +115,8 @@ def ann_lsh_topk(
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qsig |= 1 << i
+    if qsig >= 1 << 63:  # mirror the signed-long wrap of signature()
+        qsig -= 1 << 64
     bucket = sigs.filter(F.col("sig") == qsig)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = bucket.select(

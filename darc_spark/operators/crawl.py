@@ -215,10 +215,16 @@ class Crawler:
             if cfg.time_cache_seconds is None:
                 return None
             horizon = self._round_now - cfg.time_cache_seconds
-            for rr in sorted(self._round_ts):
-                if self._round_ts[rr] >= horizon:
-                    return rr
-            return r  # every recorded round is outside the window
+            # stale ⇔ KNOWN older than the window: the cutoff is one past
+            # the newest recorded round already outside it (rounds below
+            # are at least as old — monotone). Rounds with no recorded
+            # timestamp (pre-feature manifests, expired history) above
+            # that point count as FRESH: unknown age must not trigger a
+            # fleet-wide robots refetch storm on resume.
+            stale = [
+                rr for rr, ts in self._round_ts.items() if ts < horizon
+            ]
+            return max(stale) + 1 if stale else None
         if cfg.time_cache_rounds is not None:
             return r - cfg.time_cache_rounds
         return None

@@ -240,11 +240,24 @@ class SnapshotStore:
         """Roll back to snapshot ``version`` by committing a NEW snapshot
         that pins that version's segment lists (Iceberg rollback: history
         only moves forward, data files are reused, the bad snapshots stay
-        readable until expired). Discards anything staged."""
-        tables = self.tables_at(version)
+        readable until expired). Discards anything staged.
+
+        The target snapshot's crawl-cursor meta (``round``/``ts``) is
+        carried forward: a Crawler resumed on the rolled-back store must
+        continue from the rolled-back round, not restart at round 0
+        against frontier state whose leases point near the old round.
+        """
+        path = os.path.join(self._manifest_dir(), f"v{version:06d}.json")
+        with open(path) as f:
+            doc = json.load(f)
+        tables = doc["tables"]
+        meta = {"op": "rollback", "to": version}
+        for k in ("round", "ts"):
+            if k in doc.get("meta", {}):
+                meta[k] = doc["meta"][k]
         self.rollback()
         self._tables = {t: list(s) for t, s in tables.items()}
-        return self.commit({"op": "rollback", "to": version})
+        return self.commit(meta)
 
     def rollback(self) -> None:
         """Discard staged (uncommitted) segments."""

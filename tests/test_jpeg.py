@@ -123,3 +123,50 @@ def test_differential_vs_pil_if_available():
     theirs = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
     # same bitstream, two decoders: IDCT rounding differs by ≤ a few LSB
     assert psnr(ours, theirs) >= 45.0
+
+
+def test_decode_large_image_linear_time():
+    """Regression: the bit-reader must truncate its accumulator — an
+    unmasked acc turns entropy decode O(scan²) (a 96px photo took
+    minutes; masked it is well under a second)."""
+    import time
+
+    img = _smooth(31, 96)
+    data = encode_jpeg(img, quality=95)
+    t0 = time.perf_counter()
+    dec = decode_jpeg_py(data)
+    assert time.perf_counter() - t0 < 10.0
+    assert psnr(img, dec) >= 40.0
+
+
+def test_rejects_non_interleaved_multi_scan():
+    """A scan covering fewer components than the frame must raise the
+    documented ValueError, not KeyError mid-MCU."""
+    data = bytearray(encode_jpeg(_smooth(2, 16)))
+    sos = data.find(b"\xff\xda")
+    # rebuild the SOS: ns=1 (first component only), fix segment length
+    import struct
+
+    comp1 = data[sos + 5 : sos + 7]
+    tail = data[sos + 11 : sos + 14]  # Ss, Se, AhAl
+    new_payload = bytes([1]) + comp1 + tail
+    new_seg = b"\xff\xda" + struct.pack(">H", len(new_payload) + 2) + new_payload
+    data = bytes(data[:sos]) + new_seg + bytes(data[sos + 14 :])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg_py(data)
+
+
+def test_ann_lsh_topk_full_width_signature(spark):
+    """n_bits=64: the driver-side query signature must mirror the
+    signed-long wrap of the column signature (bit 63 set ⇒ negative),
+    or the bucket equality never matches."""
+    from darc_spark.functions.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = emb.filter("vec_id = 7").head()
+    q = [float(x) for x in row["embedding"]]
+    # the query vector itself is in the table → its own bucket contains
+    # it → top-1 without exclusion is itself with cosine ≈ 1
+    top = ann_lsh_topk(emb, q, k=1, n_bits=64, dims=64).head()
+    assert top["vec_id"] == 7
+    assert abs(top["cosine"] - 1.0) < 1e-9

@@ -198,3 +198,20 @@ def test_resume_after_expire_and_gc_cycle(spark, store):
     resumed = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
     assert resumed.read("t").count() == 5
     assert len(resumed.snapshots()) == 2
+
+
+def test_rollback_to_carries_crawl_cursor_meta(spark, store):
+    """rollback_to must carry the target snapshot's round/ts meta
+    forward: a Crawler resumed on the rolled-back store continues from
+    the rolled-back round instead of restarting at round 0 against
+    frontier leases pointing near the old round."""
+    store.append("t", _df(spark, [("a", 1)]))
+    store.commit({"round": 4, "ts": 400.0, "metrics": {}})
+    v_good = store.version
+    store.append("t", _df(spark, [("bad", 9)]))
+    store.commit({"round": 5, "ts": 500.0, "metrics": {}})
+
+    store.rollback_to(v_good)
+    meta = store.latest_meta()
+    assert meta["op"] == "rollback" and meta["to"] == v_good
+    assert meta["round"] == 4 and meta["ts"] == 400.0

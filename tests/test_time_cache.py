@@ -206,3 +206,58 @@ def test_no_refetch_without_lease(spark, tmp_path):
         crawler.store.read("robots_docs").filter(F.col("hostname") == host).collect()
     )
     assert len(docs) == 1, "robots re-fetched despite no TIME_CACHE lease"
+
+
+def test_time_mode_unknown_age_rounds_do_not_storm(spark, tmp_path):
+    """Manifests from before the wall-clock feature (or with expired
+    history) have no "ts": their rounds' fetches have UNKNOWN age and
+    must count as fresh — resuming in time mode must not trigger a
+    fleet-wide robots refetch storm."""
+    import json, os, re
+
+    spr = 100.0
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+
+    # run two rounds in ROUND mode (manifests carry ts, strip it after)
+    base = CrawlConfig(
+        per_host=4, lease=2, max_retries=0, revisit=2,
+        selenium_enabled=False, n_filter_buckets=4,
+    )
+    c1 = Crawler(spark, str(tmp_path / "old"), web, base)
+    c1.seed(web.seeds())
+    c1.run_round()
+    c1.run_round()
+    mdir = os.path.join(c1.store.root, "_manifests")
+    for fn in os.listdir(mdir):
+        if not re.match(r"^v\d{6}\.json$", fn):
+            continue
+        p = os.path.join(mdir, fn)
+        with open(p) as f:
+            doc = json.load(f)
+        doc.get("meta", {}).pop("ts", None)
+        with open(p, "w") as f:
+            json.dump(doc, f)
+
+    # resume in TIME mode with a clock far in the future: every past
+    # round is unknown-age, so NOTHING may be classified stale
+    k = {"v": 0}
+    def far_clock():
+        k["v"] += 1
+        return 1e9 + k["v"] * spr
+
+    cfg = CrawlConfig(
+        per_host=4, lease=2, max_retries=0, revisit=2,
+        lease_mode="time", time_cache_seconds=3 * spr, clock=far_clock,
+        selenium_enabled=False, n_filter_buckets=4,
+    )
+    c2 = Crawler(spark, str(tmp_path / "old"), web, cfg)
+    assert c2._round_ts == {}
+    before = c2.store.read("robots_docs").filter(
+        F.col("hostname") == host
+    ).count()
+    c2.run_round()
+    after = c2.store.read("robots_docs").filter(
+        F.col("hostname") == host
+    ).count()
+    assert after == before, "unknown-age rounds triggered a refetch storm"
