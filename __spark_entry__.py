@@ -473,6 +473,31 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline (quality ≥ 0.5 → lang-ID
+    'en' → exact dedup → MinHash near-dup keep-canonical) reported as
+    the per-language kept-document count and token budget. Exact-dup
+    copies of doc_id<10 are injected so the dedup stages are
+    value-checked, not vacuously passed through. The oracle re-runs the
+    whole pipeline in SQL (recursive-CTE connected components for the
+    near-dup clustering), composed from the per-stage oracle pieces."""
+    from darc_spark.functions.pipeline import clean_corpus
+
+    (docs,) = _load(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text", "lang").union(
+        docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    cleaned = clean_corpus(docs)
+    return cleaned.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.ceil(F.length("text") / F.lit(4.0)).cast("long"))
+        .cast("long")
+        .alias("total_bpe_tokens"),
+    )
+
+
 def q_quality_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100-TB-appropriate percentile path, value-checked: exact
     ``percentile`` needs a global sort per group, so at scale the report
@@ -1028,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "quality_percentiles": q_quality_percentiles,
         "quality_percentiles_approx": q_quality_percentiles_approx,
+        "corpus_clean": q_corpus_clean,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1804,6 +1830,53 @@ FROM documents GROUP BY 1
         "quality_percentiles_approx": """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, true AS within_bound
 FROM documents GROUP BY 1
+""",
+        # the full cleaning pipeline re-run in SQL: quality + lang
+        # filters, window-dedup on the content digest, MinHash bands +
+        # recursive-CTE connected components, then the same rollup
+        "corpus_clean": f"""
+WITH RECURSIVE pre AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents
+  WHERE doc_id < 10
+), feats AS (
+  SELECT doc_id, text, lang, {_TOKS_DUCK} AS t,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM pre
+), filtered AS (
+  SELECT doc_id, text, lang FROM feats
+  WHERE (0.4 * least(n_chars / 500.0, 1.0)
+       + 0.3 * (1 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
+       + 0.3 * CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1)) >= 0.5
+    AND CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1) >= 0.08
+), uniq AS (
+  SELECT doc_id, text, lang FROM filtered
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+){_duck_minhash_sig(4).replace("FROM documents", "FROM uniq").replace("WITH toks", ", toks", 1)}
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN cedges e ON e.src = w.node
+), comp AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY 1
+), final AS (
+  SELECT lang, text FROM uniq
+  WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_bpe_tokens
+FROM final GROUP BY lang
 """,
         "quality_score": q_quality,
         "token_count": f"""
