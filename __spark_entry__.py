@@ -882,6 +882,37 @@ def _canon_payload_sha(payload: str) -> str:
     ).hexdigest()
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over the input_hint image table: decode
+    every payload (real PNG/qpng/JPEG codecs), compute the 64-bit
+    perceptual hash from the DECODED pixels, then banded hamming
+    near-dup pairs (4×16-bit bands — exact recall for hamming ≤ 3 by
+    pigeonhole). Byte-identical copies of the first 24 images are
+    injected (hamming 0 pairs) so the join is value-checked; the oracle
+    is the all-pairs ground truth over the driver-enumerated phashes —
+    STRONGER than mirroring the banding."""
+    from darc_spark.functions.multimodal import image_features
+    from darc_spark.functions.similarity import hamming_pairs_from_sigs
+    from darc_spark.sources.synth import SynthWeb
+
+    imgs = SynthWeb(seed=42).image_table(spark, n=256)
+    dups = imgs.filter(F.col("image_id") < "img00000024").select(
+        F.concat(F.lit("dup"), F.col("image_id")).alias("image_id"),
+        *[c for c in imgs.columns if c != "image_id"],
+    )
+    feats = image_features(imgs.unionByName(dups))
+    pairs = hamming_pairs_from_sigs(
+        feats.select("image_id", F.col("phash").alias("sig")),
+        n_bits=64,
+        band_bits=16,
+        max_hamming=3,
+        id_col="image_id",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_submit_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 parity, value-checked: render the requests-submission JSON
     (darc/submit.py:394-603 contract) from the same crawl as
@@ -1054,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentiles": q_quality_percentiles,
         "quality_percentiles_approx": q_quality_percentiles_approx,
         "corpus_clean": q_corpus_clean,
+        "image_phash_dedup": q_image_phash_dedup,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1291,6 +1323,22 @@ def _export_python_oracles() -> None:
             }
         ),
         os.path.join(_ORACLE_DIR, "image_features.parquet"),
+    )
+
+    # image_phash_dedup: phash per corpus image (same enumeration as
+    # image_features, which the decode path is value-checked against)
+    # plus the injected byte-copies; the SQL does ALL-PAIRS hamming —
+    # ground truth the banded join must reproduce exactly
+    ph_rows = [(f["image_id"], f["phash"]) for f in feats]
+    ph_rows += [("dup" + f["image_id"], f["phash"]) for f in feats[:24]]
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([x[0] for x in ph_rows], pa.string()),
+                "phash": pa.array([x[1] for x in ph_rows], pa.int64()),
+            }
+        ),
+        os.path.join(_ORACLE_DIR, "image_phash.parquet"),
     )
 
     # audio_features: same pattern — pure enumeration of the shared
@@ -1610,6 +1658,18 @@ FROM read_parquet('{_ORACLE_DIR}/image_features.parquet')
 SELECT media_id, CAST(frame_index AS INT) AS frame_index,
        CAST(frame_len AS INT) AS frame_len
 FROM read_parquet('{_ORACLE_DIR}/frame_sample.parquet')
+""",
+        # all-pairs hamming ground truth over the enumerated phashes —
+        # the banded Spark join must lose no pair (pigeonhole: ≤3 < 4)
+        "image_phash_dedup": f"""
+WITH ph AS (
+  SELECT image_id, phash
+  FROM read_parquet('{_ORACLE_DIR}/image_phash.parquet')
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """,
         # hand-derived expected mime per corpus case, independent of the
         # engine's sniffing implementation

@@ -360,8 +360,33 @@ def hamming_near_pairs(
     *specific* 4-bit slice, the standard bounded-bucket banding; AQE
     skew-join splits residual hot buckets.
     """
-    n_bands = n_bits // band_bits
     sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(id_col, "sig")
+    return hamming_pairs_from_sigs(
+        sigs,
+        n_bits=n_bits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+        id_col=id_col,
+    )
+
+
+def hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Banded hamming near-dup pairs over a PRECOMPUTED signature
+    column — e.g. the image table's perceptual ``phash`` (64-bit
+    average hash): (id, sig) in, (id_a, id_b, hamming ≤ max) out. The
+    pigeonhole recall guarantee and bucket-bound scale shape are those
+    of :func:`hamming_near_pairs` (which delegates here after deriving
+    LSH signatures from embeddings). Arithmetic shiftright + mask keeps
+    band values correct for full-width signed 64-bit signatures."""
+    n_bands = n_bits // band_bits
+    sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
     banded = sigs.select(
         id_col,
         "sig",
