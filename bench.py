@@ -45,6 +45,8 @@ HEADLINE = [
     "phash_hamming",
     "ann_ivf",
     "image_features",
+    "corpus_clean",
+    "image_phash_dedup",
     "token_count",
     "fingerprint",
     "cosine_topk",
