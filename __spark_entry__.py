@@ -1906,10 +1906,13 @@ WITH RECURSIVE pre AS (
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
   FROM pre
 ), filtered AS (
+  -- term association mirrors the Spark side EXACTLY (0.3 * (hits/len),
+  -- not (0.3*hits)/len): the raw-double >= 0.5 threshold would flip on
+  -- a 1-ulp divergence, unlike the e6-floored oracles
   SELECT doc_id, text, lang FROM feats
   WHERE (0.4 * least(n_chars / 500.0, 1.0)
-       + 0.3 * (1 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
-       + 0.3 * CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1)) >= 0.5
+       + 0.3 * (1 - (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)))
+       + 0.3 * (CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1))) >= 0.5
     AND CAST({stop_hits} AS DOUBLE) / greatest(len(t), 1) >= 0.08
 ), uniq AS (
   SELECT doc_id, text, lang FROM filtered

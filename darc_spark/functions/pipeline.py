@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from darc_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
+from darc_spark.functions.text import lang_pred as lang_pred_rule
 from darc_spark.functions.text import quality_score
 
 
@@ -41,11 +42,7 @@ def clean_corpus(
     scored = quality_score(docs, text_col)
     kept = scored.filter(
         (F.col("quality") >= F.lit(quality_min))
-        & (
-            F.when(F.col("stop_ratio") >= 0.08, "en")
-            .otherwise("other")
-            == F.lit(lang_pred)
-        )
+        & (lang_pred_rule(F.col("stop_ratio")) == F.lit(lang_pred))
     ).select(*docs.columns)
     # exact dedup: one shuffle on the content digest, min id survives
     w = Window.partitionBy(F.md5(F.col(text_col)))

@@ -71,13 +71,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_pred(stop_ratio: Column) -> Column:
+    """The LID decision rule, owned here so every consumer (lang_id,
+    pipeline.clean_corpus) shares one threshold and label set."""
+    return F.when(stop_ratio >= 0.08, "en").otherwise("other")
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language ID: 'en' when English function words make
     up ≥8% of tokens, else 'other' (heuristic LID; a full n-gram model is
     the same plan shape with a bigger marker table)."""
     scored = quality_score(df, text_col)
     return scored.withColumn(
-        "lang_pred", F.when(F.col("stop_ratio") >= 0.08, "en").otherwise("other")
+        "lang_pred", lang_pred(F.col("stop_ratio"))
     ).select(*df.columns, "stop_ratio", "lang_pred")
 
 

@@ -98,14 +98,21 @@ class SnapshotStore:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def tables_at(self, version: int) -> dict[str, list[str]]:
-        """The exact table→segments pin of snapshot ``version``."""
+    def _manifest_doc(self, version: int) -> dict[str, Any]:
         path = os.path.join(self._manifest_dir(), f"v{version:06d}.json")
         try:
             with open(path) as f:
-                return json.load(f)["tables"]
+                return json.load(f)
         except (OSError, json.JSONDecodeError) as e:
             raise KeyError(f"no retained snapshot v{version}") from e
+
+    def tables_at(self, version: int) -> dict[str, list[str]]:
+        """The exact table→segments pin of snapshot ``version``."""
+        return self._manifest_doc(version)["tables"]
+
+    def meta_at(self, version: int) -> dict[str, Any]:
+        """Snapshot ``version``'s commit metadata."""
+        return self._manifest_doc(version).get("meta", {})
 
     # -- reads ---------------------------------------------------------------
     def segments(self, table: str) -> list[str]:
@@ -247,14 +254,12 @@ class SnapshotStore:
         continue from the rolled-back round, not restart at round 0
         against frontier state whose leases point near the old round.
         """
-        path = os.path.join(self._manifest_dir(), f"v{version:06d}.json")
-        with open(path) as f:
-            doc = json.load(f)
-        tables = doc["tables"]
+        tables = self.tables_at(version)  # KeyError if expired/unknown
+        old_meta = self.meta_at(version)
         meta = {"op": "rollback", "to": version}
         for k in ("round", "ts"):
-            if k in doc.get("meta", {}):
-                meta[k] = doc["meta"][k]
+            if k in old_meta:
+                meta[k] = old_meta[k]
         self.rollback()
         self._tables = {t: list(s) for t, s in tables.items()}
         return self.commit(meta)

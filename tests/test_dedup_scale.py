@@ -256,3 +256,22 @@ def test_connected_components_million_node_chain_and_blobs(spark):
     assert len(hubs) == BLOBS
     assert all(r["count"] == BLOB_SZ for r in hubs)
     assert all((r["component"] - CHAIN) % BLOB_SZ == 0 for r in hubs)
+
+
+def test_ann_lsh_topk_full_width_signature(spark):
+    """n_bits=64: the driver-side query signature must mirror the
+    signed-long wrap of the column signature (bit 63 set ⇒ negative
+    long), or the bucket equality never matches. vec_ids 3 (bit 63 SET
+    — exercises the wrap) and 7 (bit 63 clear — the plain path) were
+    verified against the repo's own plane() math."""
+    from darc_spark.functions.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for vid in (3, 7):
+        row = emb.filter(f"vec_id = {vid}").head()
+        q = [float(x) for x in row["embedding"]]
+        # the query vector is in the table → its own bucket contains it
+        # → top-1 without exclusion is itself with cosine ≈ 1
+        top = ann_lsh_topk(emb, q, k=1, n_bits=64, dims=64).head()
+        assert top is not None and top["vec_id"] == vid, vid
+        assert abs(top["cosine"] - 1.0) < 1e-9

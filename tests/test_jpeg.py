@@ -156,17 +156,3 @@ def test_rejects_non_interleaved_multi_scan():
         decode_jpeg_py(data)
 
 
-def test_ann_lsh_topk_full_width_signature(spark):
-    """n_bits=64: the driver-side query signature must mirror the
-    signed-long wrap of the column signature (bit 63 set ⇒ negative),
-    or the bucket equality never matches."""
-    from darc_spark.functions.similarity import ann_lsh_topk
-
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    row = emb.filter("vec_id = 7").head()
-    q = [float(x) for x in row["embedding"]]
-    # the query vector itself is in the table → its own bucket contains
-    # it → top-1 without exclusion is itself with cosine ≈ 1
-    top = ann_lsh_topk(emb, q, k=1, n_bits=64, dims=64).head()
-    assert top["vec_id"] == 7
-    assert abs(top["cosine"] - 1.0) < 1e-9
