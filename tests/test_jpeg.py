@@ -156,3 +156,63 @@ def test_rejects_non_interleaved_multi_scan():
         decode_jpeg_py(data)
 
 
+
+
+def test_decoder_never_hangs_on_corrupt_streams():
+    """Never-throw-at-the-operator contract, decoder side: random
+    single-byte corruptions of a valid stream must either decode or
+    raise promptly — no hangs, no non-Exception escapes (the
+    image_features wrapper converts any raise into a decode_error
+    row)."""
+    import time
+
+    rng = np.random.default_rng(77)
+    base = bytearray(encode_jpeg(_smooth(13, 32), quality=92))
+    t0 = time.perf_counter()
+    decoded, raised = 0, 0
+    for _ in range(150):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        try:
+            decode_jpeg_py(bytes(data))
+            decoded += 1
+        except Exception:
+            raised += 1
+    assert decoded + raised == 150
+    assert time.perf_counter() - t0 < 60.0
+    # corruption actually bites sometimes (the fuzz isn't vacuous)
+    assert raised > 0
+
+
+def test_roundtrip_property_extreme_pixels():
+    """Property: any uint8 image (including saturated extremes and
+    hard edges) roundtrips at the encoder's documented fidelity class —
+    structurally valid output of the right shape, monotone-bounded
+    error."""
+    try:
+        from hypothesis import given, settings, strategies as st
+        from hypothesis.extra.numpy import arrays
+    except ImportError:  # pragma: no cover
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 24), st.integers(1, 24), st.just(3)
+            ),
+        )
+    )
+    def prop(img):
+        dec = decode_jpeg_py(encode_jpeg(img, quality=97))
+        assert dec.shape == img.shape
+        assert dec.dtype == np.uint8
+        # error bounded: quantized DCT at q97 stays within a coarse
+        # absolute band even on adversarial content
+        assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 64
+
+    prop()
