@@ -678,6 +678,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the 10^10-scale MEMORY path:
+    each 64-dim vector compresses to 8 subspace codes (32× smaller) and
+    the query scans codes with literal-lookup sums only, no per-row
+    vector math. Seeded codebooks (trainer ``pq_build`` separately
+    unit-tested); the oracle re-runs encode + ADC in SQL with the same
+    literals and the same subspace-ordered accumulation."""
+    from darc_spark.functions.similarity import pq_adc_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return pq_adc_topk(
+        emb, qvec, k=5, m=8, ksub=16, dims=64, exclude_id=0
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("adc_dist") * 1000000 + 0.5)
+        .cast("long")
+        .alias("adc_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1092,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -1484,6 +1508,58 @@ WITH cells AS (
 ), probe AS (
   SELECT cell FROM q CROSS JOIN cells
   ORDER BY ({qdist}), cell LIMIT {n_probe}
+)
+"""
+
+
+def _pq_duck(m: int, ksub: int, dims: int) -> str:
+    """CTE prelude for the PQ oracle: literal codebooks, per-subspace
+    argmin encoding (same comparable distance + tie-break as
+    pq_encode), the query's ADC lookup table computed in-SQL from the
+    same literals, and the subspace-ORDERED distance accumulation that
+    matches the engine's left-to-right term chain."""
+    from darc_spark.functions.similarity import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dims)
+    dsub = dims // m
+    rows = []
+    for j, book in enumerate(books):
+        for c_idx, c in enumerate(book):
+            n2 = sum(x * x for x in c)
+            lit = ", ".join(repr(v) for v in c)
+            rows.append(f"({j}, {c_idx}, [{lit}]::DOUBLE[], {n2!r})")
+    values = ",\n  ".join(rows)
+    enc_dist = (
+        f"n2 - 2.0 * list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> CAST(embedding[sub * {dsub} + i] AS DOUBLE) * cv[i]), "
+        f"(a, b) -> a + b)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> (CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i]) * "
+        f"(CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH books AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS t(sub, cell, cv, n2)
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), enc AS (
+  SELECT vec_id, sub, cell,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY ({enc_dist}), cell
+         ) AS rn
+  FROM embeddings CROSS JOIN books
+), codes AS (
+  SELECT vec_id, sub, cell FROM enc WHERE rn = 1
+), lut AS (
+  SELECT sub, cell, ({q_dist}) AS qd FROM q CROSS JOIN books
+), scored AS (
+  SELECT vec_id, list_reduce(list(qd ORDER BY sub), (a, b) -> a + b) AS adc
+  FROM codes JOIN lut USING (sub, cell)
+  GROUP BY vec_id
 )
 """
 
@@ -2070,6 +2146,14 @@ WITH emb2 AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
 FROM scored WHERE cosine >= 0.9
+""",
+        # PQ encode + ADC re-run in SQL with the same codebook literals
+        "ann_pq": _pq_duck(8, 16, 64)
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_e6
+FROM scored WHERE vec_id != 0
+ORDER BY adc, vec_id LIMIT 5
 """,
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole

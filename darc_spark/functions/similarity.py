@@ -335,6 +335,129 @@ def ivf_build(
     return cells
 
 
+def pq_codebooks(m: int, ksub: int, dims: int) -> list[list[list[float]]]:
+    """Deterministic seeded product-quantization codebooks:
+    ``books[j][c]`` = centroid ``c`` of subspace ``j`` (dsub = dims/m).
+    Seeded like :func:`ivf_cells` (offset 2000 keeps the family disjoint
+    from LSH planes and IVF cells) so the DuckDB oracle embeds the same
+    literals; :func:`pq_build` is the trained replacement.
+
+    Codewords are scaled to the magnitude class of UNIT-NORM embeddings:
+    a unit vector's subvector has expected norm 1/√m, while a raw
+    ``plane`` draw has norm ≈ √(dsub/3) — without the √(3/dims) scale
+    the ||c||² term dominates every argmin, the smallest-norm codeword
+    absorbs the whole corpus, and all vectors collapse onto one code
+    per subspace (zero-information quantization)."""
+    dsub = dims // m
+    s = (3.0 / dims) ** 0.5
+    return [
+        [[s * v for v in plane(2000 + j * ksub + c, dsub)] for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantize each vector to ``m`` small codes — the
+    10^10-scale MEMORY path: a 64-dim float vector becomes m (=8) byte
+    codes, a 32× shrink, and every downstream distance is a lookup.
+    Per subspace: slice → argmin ||sub − c||² over the book (same
+    comparable-distance expressions as :func:`ivf_assign`, first index
+    wins ties) — JVM-side only, no Python."""
+    m, dsub = len(books), len(books[0][0])
+    codes = []
+    for j, book in enumerate(books):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        darr = F.array(*_cell_distances(sub, book))
+        codes.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes.
+
+    The query builds an m×ksub lookup table of ||q_j − c||² driver-side
+    (tiny, ships as literals); each row's distance is then a pure
+    literal-array lookup sum — NO per-row vector math, which is what
+    makes scanning 10^10 compressed codes feasible. Non-residual PQ
+    (codes quantize the raw vector): exactly SQL-mirrorable; the
+    IVF-residual variant is the same plan shape plus a broadcast join
+    to the coarse centroid. Distance terms accumulate in subspace
+    order, matching the oracle's ordered list_reduce."""
+    if books is None:
+        books = pq_codebooks(m, ksub, dims)
+    dsub = len(books[0][0])
+    codes = pq_encode(df, books, id_col, vec_col)
+    lut: list[list[float]] = []
+    for j, book in enumerate(books):
+        qj = [float(v) for v in query_vec[j * dsub : (j + 1) * dsub]]
+        row = []
+        for c in book:
+            acc = 0.0
+            for a, b in zip(qj, c):
+                d = float(a) - float(b)
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    dist: Column | None = None
+    for j in range(len(books)):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[j]]),
+            F.col("codes").getItem(j) + 1,
+        )
+        dist = term if dist is None else dist + term
+    scored = codes.select(F.col(id_col), dist.alias("adc_dist"))
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
+
+
+def pq_build(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: an independent distributed Lloyd run
+    (:func:`ivf_build`) per subspace slice — m sequential offline
+    index-build jobs, each scanning only its dims/m slice. Returns
+    driver-side literals shaped like :func:`pq_codebooks`."""
+    dsub = dims // m
+    return [
+        ivf_build(
+            df.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+            ),
+            k=ksub,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        for j in range(m)
+    ]
+
+
 def hamming_near_pairs(
     df: DataFrame,
     n_bits: int = 16,

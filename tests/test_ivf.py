@@ -84,3 +84,87 @@ def test_ivf_topk_equals_bruteforce_on_probed_cells(spark):
     brute.sort(key=lambda t: (-t[1], t[0]))
     want = [(vid, round(c, 9)) for vid, c in brute[:5]]
     assert [v for v, _ in got] == [v for v, _ in want]
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """Distributed PQ encoding == numpy per-subspace argmin over the
+    same seeded codebooks (ties broken by first index on both sides)."""
+    from darc_spark.functions.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, ksub, dims = 8, 16, 64
+    dsub = dims // m
+    books = pq_codebooks(m, ksub, dims)
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    B = np.array(books)  # (m, ksub, dsub)
+    for r in emb.collect():
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        want = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            d = ((B[j] - sub) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d)))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_adc_ranks_injected_near_dup_first(spark):
+    """A perturbed copy of the query vector must land at the top of the
+    ADC ranking — the compressed codes preserve near-duplicate
+    structure (what PQ dedup/retrieval is for)."""
+    from pyspark.sql import functions as F
+
+    from darc_spark.functions.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999999).cast("long").alias("vec_id"), "embedding"
+    )
+    qrow = emb.filter("vec_id = 0").head()
+    q = [float(x) for x in qrow["embedding"]]
+    top = pq_adc_topk(emb.unionByName(dup), q, k=2).collect()
+    # the query's own vector and its copy share identical codes → the
+    # two smallest ADC distances, tie-broken by id
+    assert [r["vec_id"] for r in top] == [0, 999999]
+    assert top[0]["adc_dist"] == top[1]["adc_dist"]
+
+
+def test_pq_build_reduces_distortion_vs_seeded(spark):
+    """Trained codebooks (per-subspace distributed Lloyd) must encode
+    the corpus with lower total quantization error than the seeded
+    random codebooks they replace."""
+    from darc_spark.functions.similarity import (
+        pq_build,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    m, ksub, dims = 4, 8, 64
+    dsub = dims // m
+    rows = {
+        r["vec_id"]: np.array(list(r["embedding"]), dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def distortion(books):
+        B = np.array(books)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(emb, books).collect()
+        }
+        tot = 0.0
+        for vid, v in rows.items():
+            for j in range(m):
+                sub = v[j * dsub : (j + 1) * dsub]
+                tot += float(((sub - B[j][codes[vid][j]]) ** 2).sum())
+        return tot
+
+    seeded = distortion(pq_codebooks(m, ksub, dims))
+    trained = distortion(pq_build(emb, m=m, ksub=ksub, dims=dims, iters=2))
+    assert trained < seeded * 0.8, (trained, seeded)
