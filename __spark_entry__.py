@@ -701,6 +701,28 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: coarse inverted-file pruning (probe the 2
+    nearest of 8 cells) + compressed-code ADC scan — the canonical
+    web-scale ANN index shape. Oracle = the IVF probe prelude composed
+    with the PQ encode/ADC block over the probed pool."""
+    from darc_spark.functions.similarity import ivfpq_topk
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return ivfpq_topk(
+        emb, qvec, k=5, n_cells=8, n_probe=2, m=8, ksub=16, dims=64,
+        exclude_id=0,
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("adc_dist") * 1000000 + 0.5)
+        .cast("long")
+        .alias("adc_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1116,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -1512,12 +1535,21 @@ WITH cells AS (
 """
 
 
-def _pq_duck(m: int, ksub: int, dims: int) -> str:
+def _pq_duck(
+    m: int,
+    ksub: int,
+    dims: int,
+    src: str = "embeddings",
+    lead: str = "WITH",
+    include_q: bool = True,
+) -> str:
     """CTE prelude for the PQ oracle: literal codebooks, per-subspace
     argmin encoding (same comparable distance + tie-break as
     pq_encode), the query's ADC lookup table computed in-SQL from the
     same literals, and the subspace-ORDERED distance accumulation that
-    matches the engine's left-to-right term chain."""
+    matches the engine's left-to-right term chain. ``src``/``lead``/
+    ``include_q`` let the block compose after an IVF probe prelude
+    (which already defines the ``q`` CTE)."""
     from darc_spark.functions.similarity import pq_codebooks
 
     books = pq_codebooks(m, ksub, dims)
@@ -1539,19 +1571,22 @@ def _pq_duck(m: int, ksub: int, dims: int) -> str:
         f"i -> (CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i]) * "
         f"(CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i])), (a, b) -> a + b)"
     )
+    q_cte = (
+        ", q AS (\n  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0\n)"
+        if include_q
+        else ""
+    )
     return f"""
-WITH books AS (
+{lead} books AS (
   SELECT * FROM (VALUES
   {values}
   ) AS t(sub, cell, cv, n2)
-), q AS (
-  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-), enc AS (
+){q_cte}, enc AS (
   SELECT vec_id, sub, cell,
          row_number() OVER (
            PARTITION BY vec_id, sub ORDER BY ({enc_dist}), cell
          ) AS rn
-  FROM embeddings CROSS JOIN books
+  FROM {src} CROSS JOIN books
 ), codes AS (
   SELECT vec_id, sub, cell FROM enc WHERE rn = 1
 ), lut AS (
@@ -2149,6 +2184,20 @@ FROM scored WHERE cosine >= 0.9
 """,
         # PQ encode + ADC re-run in SQL with the same codebook literals
         "ann_pq": _pq_duck(8, 16, 64)
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_e6
+FROM scored WHERE vec_id != 0
+ORDER BY adc, vec_id LIMIT 5
+""",
+        # the IVF probe prelude composed with the PQ block over the
+        # probed pool — the SQL mirrors the engine's composition 1:1
+        "ann_ivfpq": _ivf_duck(8, 2, 64)
+        + """, pool AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+)"""
+        + _pq_duck(8, 16, 64, src="pool", lead=",", include_q=False)
         + """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_e6

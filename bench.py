@@ -44,6 +44,8 @@ HEADLINE = [
     "cosine_near_pairs",
     "phash_hamming",
     "ann_ivf",
+    "ann_pq",
+    "ann_ivfpq",
     "image_features",
     "corpus_clean",
     "image_phash_dedup",

@@ -429,6 +429,49 @@ def pq_adc_topk(
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
 
 
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical 10^10-scale ANN index — coarse inverted-file
+    pruning (scan only the ``n_probe`` nearest cells) composed with the
+    PQ compressed-code ADC scan (32× smaller rows, lookup-only
+    distances). Non-residual codes (see :func:`pq_adc_topk`); both
+    component contracts are independently oracle-checked and the
+    composition has its own oracle."""
+    cells = ivf_cells(n_cells, dims)
+    qd = []
+    for i, c in enumerate(cells):
+        c_norm2 = sum(x * x for x in c)
+        qd.append((c_norm2 - 2.0 * _dot_py(query_vec, c), i))
+    probe = [i for _, i in sorted(qd)[:n_probe]]
+    pool = (
+        ivf_assign(df, cells, id_col, vec_col)
+        .filter(F.col("cell").isin(probe))
+        .select(id_col, vec_col)
+    )
+    return pq_adc_topk(
+        pool,
+        query_vec,
+        k=k,
+        m=m,
+        ksub=ksub,
+        dims=dims,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+
+
 def pq_build(
     df: DataFrame,
     m: int = 8,

@@ -168,3 +168,24 @@ def test_pq_build_reduces_distortion_vs_seeded(spark):
     seeded = distortion(pq_codebooks(m, ksub, dims))
     trained = distortion(pq_build(emb, m=m, ksub=ksub, dims=dims, iters=2))
     assert trained < seeded * 0.8, (trained, seeded)
+
+
+def test_ivfpq_subset_of_pq_pool(spark):
+    """IVF-PQ results come from the probed pool only, and every
+    returned row's ADC distance equals the plain-PQ distance for that
+    vector (the composition changes the candidate SET, not the
+    metric)."""
+    from darc_spark.functions.similarity import ivfpq_topk, pq_adc_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    full = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(emb, q, k=500, exclude_id=0).collect()
+    }
+    got = ivfpq_topk(emb, q, k=5, exclude_id=0).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["adc_dist"] == full[r["vec_id"]]
