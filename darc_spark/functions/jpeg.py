@@ -20,10 +20,13 @@ Scope (enough for the crawl pipeline, honest about limits):
 
 The decoder builds its Huffman tables from the FILE's DHT segments (not
 from our constants), so it decodes third-party baseline JPEGs, not just
-our own output. Hot loops are numpy where the data is block-shaped
-(DCT/IDCT/quantization as matrix ops); the entropy coder is per-symbol
-Python — fine for the ≤128px payloads of this corpus, and the Spark
-side always wraps it in Arrow-batched ``mapInPandas``.
+our own output. Hot paths are numpy: DCT/IDCT/quantization as batched
+matrix ops over all blocks at once, destuffing as one equality pass,
+and Huffman decoding via a flat 2^16-entry LUT over a precomputed
+32-bit-window table (a few integer ops per symbol — the round-4
+per-bit dict walk was the decode bottleneck). The *encoder's* entropy
+loop remains per-symbol Python (encode is not on the crawl hot path);
+the Spark side always wraps both in Arrow-batched ``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -164,10 +167,76 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return out
 
 
-def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, for the bit-at-a-time reader."""
-    enc = _build_codes(bits, vals)
-    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+class _Lut(list):
+    """The decode LUT as a plain list (fastest to index from the Python
+    per-symbol loop) carrying its uint16 ndarray twin for the optional
+    native scan decoder (:mod:`darc_spark.functions.jpeg_native`)."""
+
+    __slots__ = ("np",)
+
+
+_LUT_CACHE: dict[tuple, "_Lut"] = {}
+_PACK_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
+    """Flat decode table over the next 16 bits of the stream.
+
+    Canonical Huffman (spec C.2) means every code is the prefix of a
+    contiguous range of 16-bit values, so one table index replaces the
+    round-4 bit-at-a-time dict walk (the decoder's bottleneck). Entry 0
+    marks an invalid code. Two entry shapes:
+
+    * ``0x8000 | (code_len + size) << 8 | symbol`` — COMBINED: the
+      symbol's magnitude bits also fit in the same 16-bit peek, so one
+      window fetch yields symbol AND value (``size`` = low nibble for
+      AC, the symbol itself for DC). This is the common path.
+    * ``code_len << 8 | symbol`` — plain; the value bits (if any) need
+      their own read. Used for EOB/ZRL and for long code+size combos.
+
+    Returned as a plain Python list — list indexing with Python ints is
+    several times faster than numpy scalar indexing in the per-symbol
+    loop — and cached: a corpus reuses the same DHT tables across
+    files, so the 2^16-entry build cost amortizes inside a batch."""
+    key = (tuple(bits), tuple(vals), ac)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            size = (sym & 0x0F) if ac else sym
+            if (not ac and sym > 15) or (
+                ac and size == 0 and sym not in (0x00, 0xF0)
+            ):
+                # spec-invalid symbols (DC size category >15, or an AC
+                # run/size with size 0 that isn't EOB/ZRL — F.1.2):
+                # leave the range as entry 0 so BOTH scan decoders
+                # reject them as "invalid Huffman code" instead of the
+                # Python path dying on a negative shift and the C path
+                # hitting shift UB
+                code += 1
+                k += 1
+                continue
+            special = ac and sym in (0x00, 0xF0)
+            if size and not special and length + size <= 16:
+                entry = 0x8000 | ((length + size) << 8) | sym
+            else:
+                entry = (length << 8) | sym
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = entry
+            code += 1
+            k += 1
+        code <<= 1
+    out = _Lut(lut.tolist())
+    out.np = lut
+    if len(_LUT_CACHE) > 64:  # bound worst-case adversarial-corpus growth
+        _LUT_CACHE.clear()
+        _PACK_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -197,75 +266,72 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
-            elif 0xD0 <= nxt <= 0xD7:
-                # restart marker reached mid-read: signal via exception-free
-                # sentinel — callers align to markers via sync_restart()
-                raise _MarkerHit(nxt)
-            else:
-                raise _MarkerHit(nxt)
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        bit = (self.acc >> self.n) & 1
-        # truncate like _BitWriter does — without the mask acc grows into
-        # an unbounded int and every shift copies it: O(scan²) decode
-        self.acc &= (1 << self.n) - 1
-        return bit
-
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def sync_restart(self) -> None:
-        """Skip to just past the next RSTn marker; reset bit alignment."""
-        self.acc, self.n = 0, 0
-        d, p = self.data, self.pos
-        while p + 1 < len(d):
-            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
-                self.pos = p + 2
-                return
-            p += 1
-        raise ValueError("expected restart marker")
+def _destuff_segments(data: bytes, pos: int) -> list[np.ndarray]:
+    """Split the entropy-coded scan into restart segments with 0xFF00
+    byte stuffing removed: one numpy equality pass finds the (rare)
+    0xFF positions, then a Python walk over only those classifies each
+    as stuffing (keep the 0xFF, drop the 0x00), a RSTn boundary (new
+    segment), or a terminating marker (EOI / anything else)."""
+    raw = np.frombuffer(data, dtype=np.uint8, count=len(data) - pos, offset=pos)
+    segments: list[list[tuple[int, int]]] = []
+    cur: list[tuple[int, int]] = []
+    start = 0
+    ended = False
+    for i in np.flatnonzero(raw == 0xFF).tolist():
+        if i < start:
+            continue
+        nxt = int(raw[i + 1]) if i + 1 < raw.size else -1
+        if nxt == 0x00:
+            cur.append((start, i + 1))
+            start = i + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            cur.append((start, i))
+            segments.append(cur)
+            cur = []
+            start = i + 2
+        else:
+            cur.append((start, i))
+            segments.append(cur)
+            ended = True
+            break
+    if not ended:
+        cur.append((start, raw.size))
+        segments.append(cur)
+    return [
+        np.concatenate([raw[a:b] for a, b in seg])
+        if seg
+        else np.zeros(0, np.uint8)
+        for seg in segments
+    ]
 
 
-class _MarkerHit(ValueError):
-    """A marker interrupted entropy data where none was expected —
-    malformed stream (or a restart the caller failed to sync)."""
+class _ScanReader:
+    """Bit reader over one destuffed restart segment.
 
-    def __init__(self, marker: int) -> None:
-        super().__init__(f"unexpected marker 0xFF{marker:02X} in scan")
-        self.marker = marker
+    ``w32[i]`` is the big-endian 32-bit window starting at byte ``i``
+    (built in one vectorized pass), so peeking the next 16 bits is a
+    single index + shift and a Huffman symbol is one flat-LUT probe —
+    a few integer ops per symbol instead of per-bit dict walks."""
 
+    __slots__ = ("w32", "nbits", "p")
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length <= 16:
-        code = (code << 1) | r.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    def __init__(self, seg: np.ndarray) -> None:
+        # 0xFF padding past the end: spec pad bits are 1s, and any decode
+        # that walks into it either finishes a legal final EOB inside the
+        # last real byte or overruns nbits and raises. The pad is sized
+        # for a WHOLE garbage block (64 coefficients × ≤27 bits ≈ 216
+        # bytes): the overrun check runs once per block, not per symbol,
+        # so the window index must stay in range until it fires.
+        pad = np.concatenate([seg, np.full(224, 0xFF, np.uint8)]).astype(
+            np.uint32
+        )
+        # plain list: indexed once or twice per symbol with Python ints,
+        # where a numpy scalar index would dominate the loop
+        self.w32: list[int] = (
+            (pad[:-3] << 24) | (pad[1:-2] << 16) | (pad[2:-1] << 8) | pad[3:]
+        ).tolist()
+        self.nbits = int(seg.size) * 8
+        self.p = 0
 
 
 def _extend(v: int, size: int) -> int:
@@ -333,7 +399,7 @@ def encode_jpeg(
         qt = qt_l if ci == 0 else qt_c
         nby, nbx = need_h // 8, need_w // 8
         blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-        coef = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+        coef = _C @ blocks @ _C.T  # batched DCT: BLAS matmul beats einsum
         q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
         comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, ZIGZAG])
 
@@ -455,13 +521,27 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
     """Baseline JFIF JPEG bytes → RGB8 HxWx3 (grayscale → replicated).
 
     Tables come from the file's own DQT/DHT segments; rejects
-    progressive/arithmetic/12-bit streams with ValueError.
+    progressive/arithmetic/12-bit streams with ValueError. Any malformed
+    stream — truncated header, missing DHT/DQT slot, garbage entropy
+    data — raises ValueError too (never a raw IndexError/KeyError/
+    struct.error out of a Spark decode batch).
     """
+    try:
+        return _decode_jpeg_inner(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], np.ndarray] = {}  # (tc, th) → flat LUT
     frame = None
     restart_interval = 0
     while pos < len(data):
@@ -496,7 +576,7 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
                 n = sum(bits)
                 vals = list(payload[p : p + n])
                 p += n
-                huff[(tc, th)] = _build_decode(bits, vals)
+                huff[(tc, th)] = _build_lut(bits, vals, tc == 1)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload)
             if prec != 8:
@@ -543,38 +623,112 @@ def _decode_scan(data, pos, frame, scan_tabs, qts, huff, restart_interval):
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
 
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
+    # entropy decode appends (flat coefficient index, value) pairs into
+    # ONE shared pair of Python lists — component offsets are baked into
+    # the flat index, so a SINGLE vectorized scatter builds every
+    # component's zigzag array at once, and the IDCT runs once per
+    # component as a batched matmul over all blocks (per-element numpy
+    # writes and per-block views were half the round-4 decode cost)
+    shapes = [(mcus_y * c["v"], mcus_x * c["h"]) for c in comps]
+    offsets = []
+    total = 0
+    for nby, nbx in shapes:
+        offsets.append(total)
+        total += nby * nbx * 64
+    # per-component constants hoisted out of the MCU loop (the dict
+    # probes per MCU were measurable at megapixel block counts)
+    comp_meta = []
+    for ci, c in enumerate(comps):
+        td, ta = scan_tabs[c["id"]]
+        comp_meta.append(
+            (
+                ci,
+                huff[(0, td)],
+                huff[(1, ta)],
+                c["v"],
+                c["h"],
+                shapes[ci][1],
+                offsets[ci],
+            )
         )
 
-    r = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.sync_restart()
-                pred = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                td, ta = scan_tabs[c["id"]]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                qt = qts[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk, pred[ci] = _decode_block(
-                            r, dc_tab, ac_tab, qt, pred[ci]
-                        )
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu_count += 1
+    seg_list = _destuff_segments(data, pos)
 
-    # upsample to full resolution (nearest), crop, color-convert
+    from darc_spark.functions import jpeg_native
+
+    if jpeg_native.available() and len(comps) <= 8:
+        # native fast path: the same scan loop compiled to C — the
+        # pure-Python loop below is the reference implementation and
+        # the differential tests pin both to identical output
+        pack_key = tuple(
+            id(t) for m in comp_meta for t in (m[1], m[2])
+        )
+        luts = _PACK_CACHE.get(pack_key)
+        if luts is None:
+            luts = np.concatenate(
+                [m[j].np for m in comp_meta for j in (1, 2)]
+            )
+            _PACK_CACHE[pack_key] = luts
+        flat = jpeg_native.decode_scan(
+            seg_list,
+            luts,
+            np.array([c["v"] for c in comps], dtype=np.int32),
+            np.array([c["h"] for c in comps], dtype=np.int32),
+            np.array([s[1] for s in shapes], dtype=np.int32),
+            np.array(offsets, dtype=np.int64),
+            total,
+            mcus_y,
+            mcus_x,
+            restart_interval,
+        ).astype(np.int64)
+    else:
+        idxs: list[int] = []
+        vals: list[int] = []
+        segs = iter(seg_list)
+        r = _ScanReader(next(segs))
+        pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    try:
+                        r = _ScanReader(next(segs))
+                    except StopIteration:
+                        raise ValueError("expected restart marker") from None
+                    pred = [0] * len(comps)
+                for ci, dc_tab, ac_tab, cv, ch, nbx, off in comp_meta:
+                    for by in range(cv):
+                        row = (my * cv + by) * nbx + mx * ch
+                        for bx in range(ch):
+                            pred[ci] = _decode_block(
+                                r, dc_tab, ac_tab, pred[ci],
+                                off + (row + bx) * 64, idxs, vals,
+                            )
+                mcu_count += 1
+
+        # one scatter for all components, then per component:
+        # dequantize + unzigzag + batched IDCT + upsample + crop
+        flat = np.zeros(total, dtype=np.int64)
+        flat[np.asarray(idxs, dtype=np.int64)] = np.asarray(
+            vals, dtype=np.int64
+        )
     full = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
+        qt = qts[c["tq"]]
+        nby, nbx = shapes[ci]
+        zz = flat[offsets[ci] : offsets[ci] + nby * nbx * 64].reshape(
+            nby, nbx, 64
+        )
+        coef = (zz[:, :, UNZIGZAG] * qt).reshape(
+            nby, nbx, 8, 8
+        ).astype(np.float64)
+        blocks = _C.T @ coef @ _C  # batched IDCT: BLAS matmul beats einsum
+        nby, nbx = blocks.shape[:2]
+        p = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -589,30 +743,77 @@ def _decode_scan(data, pos, frame, scan_tabs, qts, huff, restart_interval):
     return np.clip(np.stack([r_, g_, b_], axis=-1), 0, 255).astype(np.uint8)
 
 
-def _decode_block(r, dc_tab, ac_tab, qt, pred):
-    zz = np.zeros(64, dtype=np.int64)
-    size = _huff_decode(r, dc_tab)
-    diff = _extend(r.read_bits(size), size) if size else 0
+def _decode_block(r, dc_tab, ac_tab, pred, base, idxs, vals):
+    """Entropy-decode one block, appending (flat index, value) pairs —
+    ``base`` is the block's offset into the component's flat zigzag
+    coefficient array; a single vectorized scatter materializes all
+    blocks afterwards. Returns the new DC predictor.
+
+    The bit reads are INLINED (window peek + LUT probe + EXTEND as raw
+    int arithmetic on the reader's state): at ~100 symbols per block the
+    method-call overhead of a per-symbol reader API was the single
+    largest decode cost after the old per-bit dict walk was removed.
+    Combined LUT entries (flag 0x8000) deliver symbol AND magnitude
+    bits from ONE 16-bit peek; the stream-overrun check runs once per
+    block (the reader's pad keeps the window index safe meanwhile)."""
+    w32, p = r.w32, r.p
+    ap, vp = idxs.append, vals.append
+    peek = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+    e = dc_tab[peek]
+    if e == 0:
+        raise ValueError("invalid Huffman code")
+    size = e & 0xFF
+    if e & 0x8000:  # combined: value bits inside the same peek
+        total = (e >> 8) & 0x7F
+        v = (peek >> (16 - total)) & ((1 << size) - 1)
+        p += total
+        diff = v if v >= 1 << (size - 1) else v - (1 << size) + 1  # EXTEND
+    elif size:
+        p += e >> 8
+        v = ((w32[p >> 3] >> (16 - (p & 7))) >> (16 - size)) & ((1 << size) - 1)
+        p += size
+        diff = v if v >= 1 << (size - 1) else v - (1 << size) + 1
+    else:
+        p += e >> 8
+        diff = 0
     dc = pred + diff
-    zz[0] = dc
+    ap(base)
+    vp(dc)
     k = 1
     while k < 64:
-        sym = _huff_decode(r, ac_tab)
+        peek = (w32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+        e = ac_tab[peek]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        sym = e & 0xFF
+        if e & 0x8000:  # combined run/size + value (the common path)
+            size = sym & 0x0F
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            total = (e >> 8) & 0x7F
+            v = (peek >> (16 - total)) & ((1 << size) - 1)
+            p += total
+            ap(base + k)
+            vp(v if v >= 1 << (size - 1) else v - (1 << size) + 1)
+            k += 1
+            continue
+        p += e >> 8
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
             k += 16
             continue
-        run, size = sym >> 4, sym & 0x0F
-        k += run
+        size = sym & 0x0F
+        k += sym >> 4
         if k > 63:
             raise ValueError("AC run past block end")
-        zz[k] = _extend(r.read_bits(size), size)
+        v = ((w32[p >> 3] >> (16 - (p & 7))) >> (16 - size)) & ((1 << size) - 1)
+        p += size
+        ap(base + k)
+        vp(v if v >= 1 << (size - 1) else v - (1 << size) + 1)
         k += 1
-    # zz is zigzag-ordered; qt is stored natural (row-major) — bring the
-    # coefficients to natural order FIRST, then dequantize elementwise.
-    # The output stays level-shifted; the caller adds 128 after color
-    # conversion.
-    coef = (zz[UNZIGZAG] * qt).reshape(8, 8).astype(np.float64)
-    blk = _C.T @ coef @ _C
-    return blk, dc
+    if p > r.nbits:
+        raise ValueError("truncated scan")
+    r.p = p
+    return dc

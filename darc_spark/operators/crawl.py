@@ -164,6 +164,13 @@ class Crawler:
         self.clock = self.cfg.clock or _time.time
         self._round_ts: dict[int, float] = {}
         for meta in self._all_manifest_metas():
+            # each commit carries the FULL round→ts history ("round_ts"),
+            # so lease decisions survive expire_snapshots dropping the
+            # old manifests that originally recorded those rounds; the
+            # per-manifest ("round", "ts") pair covers pre-history
+            # manifests. Later manifests win on merge (sorted order).
+            for rr, ts in meta.get("round_ts", {}).items():
+                self._round_ts[int(rr)] = float(ts)
             if "round" in meta and "ts" in meta:
                 self._round_ts[int(meta["round"])] = float(meta["ts"])
 
@@ -177,8 +184,15 @@ class Crawler:
         for fn in sorted(_os.listdir(mdir)):
             if not _re.match(r"^v\d{6}\.json$", fn):
                 continue
-            with open(_os.path.join(mdir, fn)) as f:
-                out.append(_json.load(f).get("meta", {}))
+            # tolerate a torn/corrupt historical manifest exactly like
+            # _load_latest does — one unreadable file must not make the
+            # crawler unconstructable (the latest good manifest still
+            # defines state; a skipped meta only loses optional history)
+            try:
+                with open(_os.path.join(mdir, fn)) as f:
+                    out.append(_json.load(f).get("meta", {}))
+            except (OSError, ValueError):
+                continue
         return out
 
     def _escalation_threshold(self) -> int | None:
@@ -1031,7 +1045,14 @@ class Crawler:
             metrics["host_pending_max"] = float(st["x"] or 0.0)
             metrics["escalate_threshold"] = float(self._round_escalate)
         self.store.commit(
-            {"round": r, "metrics": metrics, "ts": self._round_now}
+            {
+                "round": r,
+                "metrics": metrics,
+                "ts": self._round_now,
+                # full history rides every commit so time-mode staleness
+                # still sees old rounds after their manifests are expired
+                "round_ts": {str(rr): ts for rr, ts in self._round_ts.items()},
+            }
         )
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests

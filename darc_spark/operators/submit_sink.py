@@ -123,10 +123,13 @@ class SubmitSink:
         # attempts counter accumulates across rounds, so operators can
         # identify long-stuck payloads instead of every spill row reading
         # attempts=max_retries+1 with this round's stamp
-        prior = spilled.select(
-            "key",
-            F.col("attempts").alias("_prior_attempts"),
-            F.col("spill_round").alias("_prior_spill_round"),
+        # aggregate prior per key BEFORE the join: if the spill table ever
+        # holds duplicate rows for a key (e.g. the same key spilled twice
+        # in one round's fresh batch), a plain left join would fan results
+        # out and compound duplicate spill rows every subsequent round
+        prior = spilled.groupBy("key").agg(
+            F.max("attempts").alias("_prior_attempts"),
+            F.min("spill_round").alias("_prior_spill_round"),
         )
         failed = (
             results.filter(~F.col("ok"))

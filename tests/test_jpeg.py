@@ -216,3 +216,59 @@ def test_roundtrip_property_extreme_pixels():
         assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 64
 
     prop()
+
+
+def test_native_and_python_scan_decoders_agree():
+    """Differential: the optional ctypes-compiled scan decoder and the
+    pure-Python reference must agree exactly — on valid streams (pixel
+    equality) and on corrupted ones (both decode to the same pixels, or
+    both raise ValueError)."""
+    from darc_spark.functions import jpeg_native
+
+    if not jpeg_native.available():
+        import pytest as _pytest
+
+        _pytest.skip("no C compiler available for the native path")
+
+    def decode_both(data):
+        import darc_spark.functions.jpeg_native as jn
+
+        saved_lib, saved_tried = jn._lib, jn._tried
+        try:
+            out_native = _try(data)
+            jn._lib, jn._tried = None, True  # force the Python path
+            out_py = _try(data)
+        finally:
+            jn._lib, jn._tried = saved_lib, saved_tried
+        return out_native, out_py
+
+    def _try(data):
+        try:
+            return ("ok", decode_jpeg_py(data))
+        except ValueError:
+            return ("raise", None)
+
+    # valid streams across shapes/sampling/restart
+    rng = np.random.default_rng(5)
+    for side, sub, ri in [(16, False, 0), (33, True, 0), (40, True, 3), (24, False, 2)]:
+        img = _smooth(side, side)
+        data = encode_jpeg(img, quality=92, subsample=sub, restart_interval=ri)
+        (sa, da), (sb, db) = decode_both(data)
+        assert sa == sb == "ok"
+        assert (da == db).all()
+
+    # corrupted streams: identical verdicts, identical pixels when ok
+    base = bytearray(encode_jpeg(_smooth(21, 32), quality=92))
+    agree_raise = agree_ok = 0
+    for _ in range(120):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        (sa, da), (sb, db) = decode_both(bytes(data))
+        assert sa == sb, "native and python disagree on verdict"
+        if sa == "ok":
+            assert (da == db).all()
+            agree_ok += 1
+        else:
+            agree_raise += 1
+    assert agree_ok > 0 and agree_raise > 0

@@ -235,7 +235,12 @@ def test_time_mode_unknown_age_rounds_do_not_storm(spark, tmp_path):
         p = os.path.join(mdir, fn)
         with open(p) as f:
             doc = json.load(f)
+        # strip BOTH the per-manifest stamp and the carried-forward
+        # history: since commits ride the full round→ts map ("round_ts"),
+        # only a pre-history manifest (or one written before the crawl
+        # recorded timestamps at all) is genuinely unknown-age
         doc.get("meta", {}).pop("ts", None)
+        doc.get("meta", {}).pop("round_ts", None)
         with open(p, "w") as f:
             json.dump(doc, f)
 
@@ -261,3 +266,46 @@ def test_time_mode_unknown_age_rounds_do_not_storm(spark, tmp_path):
         F.col("hostname") == host
     ).count()
     assert after == before, "unknown-age rounds triggered a refetch storm"
+
+
+def test_time_mode_history_survives_snapshot_expiry(spark, tmp_path):
+    """Every commit carries the full round→ts map forward, so expiring
+    old snapshots (whose manifests originally recorded those rounds'
+    timestamps) must NOT lose lease history: a host last fetched in an
+    expired-away round still counts as stale once its age exceeds the
+    window, instead of escaping TIME_CACHE refetch forever."""
+    spr = 100.0
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+    host = web.hosts[0]
+
+    def mk_cfg(clock):
+        return CrawlConfig(
+            per_host=4, lease=2, max_retries=0, revisit=2,
+            lease_mode="time", time_cache_seconds=3 * spr, clock=clock,
+            selenium_enabled=False, n_filter_buckets=4,
+        )
+
+    c1 = Crawler(spark, str(tmp_path / "exp"), web, mk_cfg(_stepper(spr)))
+    c1.seed(web.seeds())
+    c1.run_round()  # round 0 @ t=0 — fetches robots for every seed host
+    c1.run_round()  # round 1 @ t=100
+    # expire everything but the latest snapshot: the manifests that
+    # first recorded rounds 0-1's timestamps are gone from disk
+    c1.store.expire_snapshots(keep_last=1)
+
+    clock2 = _stepper(spr)
+    for _ in range(4):
+        clock2()  # next call yields round 4's timestamp (t=400)
+    c2 = Crawler(spark, str(tmp_path / "exp"), web, mk_cfg(clock2))
+    # the carried-forward history still knows rounds 0 and 1
+    assert c2._round_ts[0] == 0.0 and c2._round_ts[1] == spr
+    before = c2.store.read("robots_docs").filter(
+        F.col("hostname") == host
+    ).count()
+    c2.run_round()  # @ t=400: round 0's fetch is 400s old > 300s window
+    after = c2.store.read("robots_docs").filter(
+        F.col("hostname") == host
+    ).count()
+    assert after > before, (
+        "lease history lost to snapshot expiry: stale host never refetched"
+    )
