@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_pq",
     "ann_ivfpq",
+    "ann_ivfpq_residual",
     "image_features",
     "corpus_clean",
     "image_phash_dedup",
@@ -243,6 +244,42 @@ def run_bench(master: str, sf_dir: str, crawl_only: bool = False) -> dict:
         spark.stop()
 
 
+def jpeg_decode_bench() -> dict:
+    """Driver-local JPEG codec throughput (no Spark): images/sec for the
+    pure-Python LUT scan decoder and the optional ctypes-compiled one,
+    at the corpus tile size and at web-image size. Tracked so decoder
+    regressions are visible round-over-round (round 4's per-bit reader
+    measured ~312 img/s at 32px; the LUT decoder is ~5×, native ~14×)."""
+    import numpy as np
+
+    from darc_spark.functions import jpeg_native as jn
+    from darc_spark.functions.jpeg import decode_jpeg_py, encode_jpeg
+
+    x = np.linspace(0, 2 * np.pi, 128)
+    img = (
+        (np.sin(x)[:, None] * np.cos(x)[None, :] * 0.5 + 0.5) * 255
+    ).astype("uint8")
+    out = {}
+    for side, reps in ((32, 200), (128, 30)):
+        tile = np.stack([img[:side, :side]] * 3, axis=-1)
+        data = encode_jpeg(tile, quality=92)
+        for label, force_py in (("native", False), ("py", True)):
+            if force_py:
+                saved = jn._lib, jn._tried
+                jn._lib, jn._tried = None, True
+            try:
+                decode_jpeg_py(data)  # warm (LUT build)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    decode_jpeg_py(data)
+                dt = time.perf_counter() - t0
+            finally:
+                if force_py:
+                    jn._lib, jn._tried = saved
+            out[f"jpeg_decode_{label}_{side}px_img_s"] = round(reps / dt, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -330,6 +367,16 @@ def main() -> None:
 
     res = run_bench(f"local[{cpus}]", sf_dir)
     total = round(sum(res["queries"].values()), 3)
+    import statistics
+
+    spread = {
+        name: {
+            "min": min(r),
+            "median": round(statistics.median(r), 3),
+            "max": max(r),
+        }
+        for name, r in res["runs"].items()
+    }
     print(
         json.dumps(
             {
@@ -344,6 +391,8 @@ def main() -> None:
                 "crawl_urls": res["crawl"]["scheduled"] + res["crawl"]["fetched"],
                 "best_of_k": res["k"],
                 "runs": res["runs"],
+                "spread": spread,
+                "codec": jpeg_decode_bench(),
             }
         )
     )

@@ -222,15 +222,38 @@ def ivf_cells(n_cells: int, dims: int) -> list[list[float]]:
     return [plane(1000 + i, dims) for i in range(n_cells)]
 
 
-def _cell_distances(vec: Column, cells: list[list[float]]) -> list[Column]:
-    """Per-codeword comparable distance: ||c||² − 2·v·c (the ||v||² term
-    is constant under argmin, so it is dropped on BOTH sides)."""
-    out = []
-    for c in cells:
-        c_norm2 = float(sum(x * x for x in c))
-        cc = F.array(*[F.lit(float(v)) for v in c])
-        out.append(F.lit(c_norm2) - F.lit(2.0) * dot(vec, cc))
-    return out
+def _codeword_dists(vec: Column, book: list[list[float]]) -> Column:
+    """Array of per-codeword comparable distances ||c||² − 2·v·c (the
+    ||v||² term is constant under argmin, so it is dropped on BOTH
+    sides).
+
+    The codebook and its norms ride as TWO array ``Literal`` nodes and
+    the per-codeword arithmetic is a ``zip_with`` lambda, so the plan
+    is O(1) in the codebook size — the round-4 per-codeword expression
+    trees grew the plan m·ksub·dsub-fold, which capped PQ at ksub=16;
+    this shape compiles ksub=256 byte codes as fast as ksub=16. The
+    float64 op order (norm literal − 2·left-to-right dot) is unchanged,
+    so every existing DuckDB oracle still value-matches."""
+    bl = F.lit([[float(v) for v in c] for c in book])
+    nl = F.lit([float(sum(x * x for x in c)) for c in book])
+    return F.zip_with(
+        bl,
+        nl,
+        lambda c, n2: n2
+        - F.lit(2.0)
+        * F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _argmin_code(vec: Column, book: list[list[float]]) -> Column:
+    """Nearest-codeword index (argmin squared-L2, first index wins
+    ties) — JVM-side expressions only, no Python."""
+    darr = _codeword_dists(vec, book)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
 
 def ivf_assign(
@@ -241,8 +264,7 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest codeword (argmin squared-L2,
     first index wins ties) — JVM-side expressions only, no Python."""
-    darr = F.array(*_cell_distances(F.col(vec_col), cells))
-    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    cell = _argmin_code(F.col(vec_col), cells)
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
@@ -266,18 +288,79 @@ def ivf_topk(
     expressions (and the DuckDB oracle), so the contract is exact.
     """
     cells = ivf_cells(n_cells, dims)
-    # query's probe cells, driver-side on literals (same math both sides)
+    return ivf_topk_from_index(
+        ivf_assign(df, cells, id_col, vec_col),
+        query_vec,
+        cells,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+
+
+def probe_cells(
+    query_vec: list[float], cells: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest coarse cells, computed
+    driver-side on literals with the SAME float64 left-to-right
+    arithmetic as the assignment expressions (and the DuckDB oracle),
+    so probe choice is exact on both sides."""
     qd = []
     for i, c in enumerate(cells):
         c_norm2 = sum(x * x for x in c)
-        d = c_norm2 - 2.0 * _dot_py(query_vec, c)
-        qd.append((d, i))
-    probe = [i for _, i in sorted(qd)[:n_probe]]
-    assigned = ivf_assign(df, cells, id_col, vec_col).filter(
-        F.col("cell").isin(probe)
-    )
+        qd.append((c_norm2 - 2.0 * _dot_py(query_vec, c), i))
+    return [i for _, i in sorted(qd)[:n_probe]]
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    cells: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: assign once, write parquet
+    **partitioned by cell**. This is the index-build step a real
+    10^10-row deployment runs offline — serving queries never re-run
+    the assignment; they read only the probed cells' partitions
+    (:func:`ivf_topk_from_index` + :func:`read_ann_index`), which
+    partition pruning turns into a file-level skip of the other
+    ``n_cells − n_probe`` directories."""
+    ivf_assign(df, cells, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def read_ann_index(spark, path: str) -> DataFrame:
+    """Open a materialized ANN index table (written by
+    :func:`write_ivf_index` / :func:`write_ivfpq_index`). A plain
+    partitioned-parquet read: ``cell`` is a partition column, so a
+    probe filter prunes at file-listing time."""
+    return spark.read.parquet(path)
+
+
+def ivf_topk_from_index(
+    index_df: DataFrame,
+    query_vec: list[float],
+    cells: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine re-rank over the ``n_probe`` probed cells of a
+    PRECOMPUTED assignment table — the serving path. With ``index_df``
+    read from a cell-partitioned parquet index the probe filter prunes
+    partitions (only probed directories are listed/scanned); with a
+    freshly computed assignment it degrades to the one-shot
+    :func:`ivf_topk`."""
+    probe = probe_cells(query_vec, cells, n_probe)
+    pool = index_df.filter(F.col("cell").isin(probe))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = assigned.select(
+    scored = pool.select(
         F.col(id_col),
         (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias(
             "cosine"
@@ -372,10 +455,7 @@ def pq_encode(
     codes = []
     for j, book in enumerate(books):
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-        darr = F.array(*_cell_distances(sub, book))
-        codes.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-        )
+        codes.append(_argmin_code(sub, book))
     return df.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
@@ -403,8 +483,22 @@ def pq_adc_topk(
     order, matching the oracle's ordered list_reduce."""
     if books is None:
         books = pq_codebooks(m, ksub, dims)
+    return pq_adc_topk_from_codes(
+        pq_encode(df, books, id_col, vec_col),
+        query_vec,
+        books,
+        k=k,
+        id_col=id_col,
+        exclude_id=exclude_id,
+    )
+
+
+def adc_lut(
+    query_vec: list[float], books: list[list[list[float]]]
+) -> list[list[float]]:
+    """The query's m×ksub table of ||q_j − c||², driver-side float64
+    left-to-right (tiny; ships as one literal)."""
     dsub = len(books[0][0])
-    codes = pq_encode(df, books, id_col, vec_col)
     lut: list[list[float]] = []
     for j, book in enumerate(books):
         qj = [float(v) for v in query_vec[j * dsub : (j + 1) * dsub]]
@@ -416,14 +510,60 @@ def pq_adc_topk(
                 acc = acc + d * d
             row.append(acc)
         lut.append(row)
+    return lut
+
+
+def _adc_dist_expr(lut: list[list[float]], codes_col: Column) -> Column:
+    """Lookup-sum ADC distance: one nested-array Literal holds the
+    whole LUT (plan size O(m), not O(m·ksub)); terms accumulate in
+    subspace order, matching the oracle's ordered list_reduce."""
+    ll = F.lit([[float(v) for v in row] for row in lut])
     dist: Column | None = None
-    for j in range(len(books)):
+    for j in range(len(lut)):
         term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[j]]),
-            F.col("codes").getItem(j) + 1,
+            F.element_at(ll, j + 1), codes_col.getItem(j) + 1
         )
         dist = term if dist is None else dist + term
-    scored = codes.select(F.col(id_col), dist.alias("adc_dist"))
+    assert dist is not None
+    return dist
+
+
+def write_pq_codes(
+    df: DataFrame,
+    path: str,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ code table: encode once offline, write
+    parquet. The codes are the index — m small ints per vector (32×
+    smaller than the embedding) — and serving queries
+    (:func:`pq_adc_topk_from_codes`) scan ONLY this table with
+    literal-lookup sums: no embedding column is ever read at query
+    time, which is the whole point of scanning 10^10 compressed rows."""
+    pq_encode(df, books, id_col, vec_col).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def pq_adc_topk_from_codes(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a PRECOMPUTED code table (``(id, codes)`` —
+    written by :func:`write_pq_codes`, or the ``codes`` column of an
+    IVF-PQ index): per-query cost is a codes scan + literal LUT only,
+    never a re-encode of the corpus."""
+    scored = codes_df.select(
+        F.col(id_col),
+        _adc_dist_expr(adc_lut(query_vec, books), F.col("codes")).alias(
+            "adc_dist"
+        ),
+    )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
@@ -449,27 +589,120 @@ def ivfpq_topk(
     component contracts are independently oracle-checked and the
     composition has its own oracle."""
     cells = ivf_cells(n_cells, dims)
-    qd = []
-    for i, c in enumerate(cells):
-        c_norm2 = sum(x * x for x in c)
-        qd.append((c_norm2 - 2.0 * _dot_py(query_vec, c), i))
-    probe = [i for _, i in sorted(qd)[:n_probe]]
-    pool = (
-        ivf_assign(df, cells, id_col, vec_col)
-        .filter(F.col("cell").isin(probe))
-        .select(id_col, vec_col)
+    books = pq_codebooks(m, ksub, dims)
+    assigned = ivf_assign(df, cells, id_col, vec_col)
+    # build the (id, codes, cell) shape inline and delegate to the
+    # from-index probe — one code path for fresh and materialized runs
+    dsub = dims // m
+    codes = [
+        _argmin_code(F.slice(F.col(vec_col), j * dsub + 1, dsub), book)
+        for j, book in enumerate(books)
+    ]
+    index_df = assigned.select(
+        F.col(id_col), F.array(*codes).alias("codes"), F.col("cell")
     )
-    return pq_adc_topk(
-        pool,
+    return ivfpq_topk_from_index(
+        index_df,
         query_vec,
+        cells,
+        books,
         k=k,
-        m=m,
-        ksub=ksub,
-        dims=dims,
+        n_probe=n_probe,
         id_col=id_col,
-        vec_col=vec_col,
         exclude_id=exclude_id,
     )
+
+
+def ivf_residuals(
+    df_with_cell: DataFrame,
+    cells: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace ``vec_col`` with the residual v − centroid[cell] (the
+    canonical IVF-PQ encode input: residuals concentrate near 0, so a
+    shared codebook quantizes them far better than raw vectors). One
+    nested-array Literal holds the centroids; per-row lookup + zip_with
+    subtraction, float64."""
+    cl = F.lit([[float(v) for v in c] for c in cells])
+    cent = F.element_at(cl, F.col("cell") + 1)
+    res = F.zip_with(
+        F.col(vec_col), cent, lambda x, y: x.cast("double") - y
+    )
+    return df_with_cell.withColumn(vec_col, res)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    cells: list[list[float]],
+    books: list[list[list[float]]],
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: coarse-assign + PQ-encode once,
+    write ``(id, codes, cell)`` parquet **partitioned by cell**. The
+    serving read (:func:`ivfpq_topk_from_index`) probe-filters on the
+    partition column — only the probed cells' files are listed — and
+    scans codes only (no embeddings in the index at all: the table is
+    ~32× smaller than the corpus). ``residual=True`` encodes
+    v − centroid[cell] (the canonical index; recall beats raw-vector
+    codes because residuals share a tight distribution)."""
+    assigned = ivf_assign(df, cells, id_col, vec_col)
+    enc_in = (
+        ivf_residuals(assigned, cells, vec_col) if residual else assigned
+    )
+    dsub = len(books[0][0])
+    codes = [
+        _argmin_code(F.slice(F.col(vec_col), j * dsub + 1, dsub), book)
+        for j, book in enumerate(books)
+    ]
+    enc_in.select(
+        F.col(id_col), F.array(*codes).alias("codes"), F.col("cell")
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivfpq_topk_from_index(
+    index_df: DataFrame,
+    query_vec: list[float],
+    cells: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over a PRECOMPUTED ``(id, codes, cell)`` IVF-PQ index
+    — the serving path: probe-filter (partition-pruned when the index
+    is a cell-partitioned parquet table) then literal-LUT lookup sums.
+    ``residual=True`` matches an index built with residual encoding:
+    each probed cell gets its own LUT built from q − centroid[cell]
+    (n_probe tiny tables, selected by a when-chain on the partition
+    column)."""
+    probe = probe_cells(query_vec, cells, n_probe)
+    pool = index_df.filter(F.col("cell").isin(probe))
+    if residual:
+        dist: Column | None = None
+        expr = None
+        for p in probe:
+            qr = [
+                float(a) - float(b)
+                for a, b in zip(query_vec, cells[p])
+            ]
+            term = _adc_dist_expr(adc_lut(qr, books), F.col("codes"))
+            expr = (
+                F.when(F.col("cell") == p, term)
+                if expr is None
+                else expr.when(F.col("cell") == p, term)
+            )
+        dist = expr
+    else:
+        dist = _adc_dist_expr(adc_lut(query_vec, books), F.col("codes"))
+    scored = pool.select(F.col(id_col), dist.alias("adc_dist"))
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(k)
 
 
 def pq_build(

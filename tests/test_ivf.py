@@ -189,3 +189,131 @@ def test_ivfpq_subset_of_pq_pool(spark):
     assert len(got) == 5
     for r in got:
         assert r["adc_dist"] == full[r["vec_id"]]
+
+
+def test_pq_encode_ksub256_compiles_fast_and_matches_numpy(spark):
+    """Standard PQ parameters (m=8, ksub=256 byte codes) must be
+    practical: the codebook rides as one nested-array Literal, so plan
+    size is O(1) in ksub — the round-4 per-codeword expression trees
+    (m·ksub·dsub nodes) made ksub=256 a 16×-bigger plan. Bounds the
+    whole build+analyze+execute wall time and value-checks the codes
+    against numpy argmin."""
+    import time
+
+    from darc_spark.functions.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    m, ksub, dims = 8, 256, 64
+    dsub = dims // m
+    books = pq_codebooks(m, ksub, dims)
+    t0 = time.time()
+    got = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    elapsed = time.time() - t0
+    assert elapsed < 30.0, f"ksub=256 encode took {elapsed:.1f}s — plan blowup"
+    B = np.array(books)
+    for r in emb.collect():
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        want = []
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            want.append(int(np.argmin(((B[j] - sub) ** 2).sum(axis=1))))
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_residual_encoding_beats_raw(spark):
+    """The canonical residual IVF-PQ claim: encoding v − centroid[cell]
+    (residuals share a tight near-zero distribution) quantizes better
+    than encoding raw vectors — measured two ways on the same corpus
+    with codebooks TRAINED on each variant's own input:
+    (a) total quantization distortion is lower (deterministic), and
+    (b) ADC top-k recall vs exact L2 over the probed pool is ≥.
+
+    Requires a TRAINED coarse quantizer (``ivf_build``): residuals are
+    only small when centroids are means of real data — against the
+    seeded random codebook, ||v − c|| exceeds ||v|| and residual
+    encoding is strictly worse (verified while writing this test)."""
+    from darc_spark.functions.similarity import (
+        ivf_assign,
+        ivf_build,
+        ivf_residuals,
+        ivfpq_topk_from_index,
+        pq_build,
+        probe_cells,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    m, ksub, dims, n_probe = 8, 16, 64, 2
+    dsub = dims // m
+    cells = ivf_build(emb, k=8, iters=2)
+    assigned = ivf_assign(emb, cells)
+    res_df = ivf_residuals(assigned, cells)
+    books_raw = pq_build(emb, m=m, ksub=ksub, dims=dims, iters=2)
+    books_res = pq_build(
+        res_df.select("vec_id", "embedding"), m=m, ksub=ksub, dims=dims,
+        iters=2,
+    )
+
+    # (a) distortion, computed in numpy from collected rows
+    C = np.array(cells)
+    rows = {
+        r["vec_id"]: (np.array(list(r["embedding"]), dtype=np.float64),
+                      r["cell"])
+        for r in assigned.collect()
+    }
+
+    def distortion(books, residual):
+        B = np.array(books)
+        tot = 0.0
+        for v, cell in rows.values():
+            x = v - C[cell] if residual else v
+            for j in range(m):
+                sub = x[j * dsub : (j + 1) * dsub]
+                d = ((B[j] - sub) ** 2).sum(axis=1)
+                tot += float(d.min())
+        return tot
+
+    d_raw = distortion(books_raw, residual=False)
+    d_res = distortion(books_res, residual=True)
+    assert d_res < d_raw, (d_res, d_raw)
+
+    # (b) recall@10 vs exact L2 over the probed pool, via the REAL
+    # materialized-index path for both variants
+    import tempfile
+
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    probe = set(probe_cells(q, cells, n_probe))
+    pool = {
+        vid: v for vid, (v, cell) in rows.items()
+        if cell in probe and vid != 0
+    }
+    qv = np.array(q)
+    exact = sorted(
+        pool, key=lambda vid: (((pool[vid] - qv) ** 2).sum(), vid)
+    )[:10]
+
+    def recall(books, residual):
+        path = tempfile.mkdtemp(prefix="ivfpq_recall_")
+        write_ivfpq_index(emb, path, cells, books, residual=residual)
+        idx = spark.read.parquet(path)
+        got = [
+            r["vec_id"]
+            for r in ivfpq_topk_from_index(
+                idx, q, cells, books, k=10, n_probe=n_probe,
+                residual=residual, exclude_id=0,
+            ).collect()
+        ]
+        return len(set(got) & set(exact)) / 10.0
+
+    r_res = recall(books_res, residual=True)
+    r_raw = recall(books_raw, residual=False)
+    assert r_res >= r_raw, (r_res, r_raw)
+    # sanity floor only: at m=8, ksub=16 (4-bit codes) recall@10 on this
+    # corpus is ~0.3 — the comparative claim above is the test's point
+    assert r_res >= 0.2, r_res

@@ -85,3 +85,114 @@ def test_ann_and_cosine_ops_udf_free(spark):
     for q in (e.q_cosine_topk, e.q_ann_lsh, e.q_ann_topk,
               e.q_cosine_near_pairs, e.q_phash_hamming):
         assert_no_python(q(spark, SF))
+
+
+def _executed_files(df, id_col="vec_id"):
+    """Files the scan ACTUALLY reads at execution (post partition
+    pruning) — ``df.inputFiles()`` lists the relation's files BEFORE
+    pruning, so the honest probe is ``input_file_name()`` over the
+    executed rows."""
+    return {
+        r["f"]
+        for r in df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index is parquet partitioned by cell, and a
+    probe (cell IN probed) must prune at the source: the scan's
+    PartitionFilters carry the cell predicate and the files read are
+    ONLY the probed cells' directories — the design that makes a
+    10^10-row index serve a query without touching the other
+    n_cells − n_probe partitions."""
+    from darc_spark.functions.similarity import (
+        ivf_cells,
+        ivf_topk_from_index,
+        probe_cells,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cells)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    idx = spark.read.parquet(path)
+    probed = ivf_topk_from_index(idx, qvec, cells, k=5, n_probe=2)
+    probe = set(probe_cells(qvec, cells, 2))
+
+    # 1. the scan plan carries the probe as a PARTITION filter
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and " IN " in m.group(1), plan[:2000]
+
+    # 2. execution reads ONLY the probed cells' files: input_file_name
+    #    over the full probed pool (filter only — no topk truncation)
+    pool = idx.filter(F.col("cell").isin(list(probe)))
+    touched = {
+        int(mm.group(1))
+        for f in _executed_files(pool)
+        for mm in [re.search(r"cell=(\d+)", f)]
+        if mm
+    }
+    assert touched == probe, f"read cells {touched}, probed {probe}"
+    # and the full index genuinely has more cells to skip
+    all_cells = {
+        int(mm.group(1))
+        for f in spark.read.parquet(path).inputFiles()
+        for mm in [re.search(r"cell=(\d+)", f)]
+        if mm
+    }
+    assert len(all_cells) > len(probe)
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path):
+    """Same pruning contract for the (id, codes, cell) IVF-PQ index —
+    including the residual variant, whose per-cell LUT when-chain must
+    not defeat partition pruning."""
+    import re
+
+    from darc_spark.functions.similarity import (
+        ivf_cells,
+        ivfpq_topk_from_index,
+        pq_codebooks,
+        probe_cells,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    books = pq_codebooks(8, 16, 64)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    probe = set(probe_cells(qvec, cells, 2))
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_idx_{residual}")
+        write_ivfpq_index(emb, path, cells, books, residual=residual)
+        idx = spark.read.parquet(path)
+        topk = ivfpq_topk_from_index(
+            idx, qvec, cells, books, k=5, n_probe=2, residual=residual
+        )
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), (residual, plan[:2000])
+        pool = idx.filter(F.col("cell").isin(list(probe)))
+        touched = {
+            int(mm.group(1))
+            for f in _executed_files(pool)
+            for mm in [re.search(r"cell=(\d+)", f)]
+            if mm
+        }
+        assert touched == probe, (residual, touched, probe)
+        # the index never stores embeddings: codes-only scan
+        assert "embedding" not in idx.columns
