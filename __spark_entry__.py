@@ -1136,17 +1136,32 @@ def q_sniff_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audio_payloads() -> list[tuple[str, bytes]]:
-    """Deterministic audio clip corpus shared by the Spark query and the
-    driver-side oracle enumeration."""
-    return [
-        (f"aud{i:04d}", (b"clip-%d " % i) * (20 + i % 7)) for i in range(64)
-    ]
+    """Deterministic audio clip corpus — REAL WAV bytes (PCM16, mono
+    and stereo, mixed sample rates and lengths, plus one corrupt
+    payload exercising the never-throw decode_error path) — shared by
+    the Spark query and the driver-side oracle enumeration."""
+    import numpy as np
+
+    from darc_spark.functions.wav import encode_wav, tone_wave
+
+    out = []
+    for i in range(64):
+        sr = (8000, 16000, 44100)[i % 3]
+        n = 2048 + 512 * (i % 5)
+        wave = tone_wave(seed=1000 + i, n_samples=n, sample_rate=sr)
+        if i % 4 == 3:  # stereo: right channel is a delayed copy
+            wave = np.stack([wave, np.roll(wave, 7)], axis=1)
+        payload = encode_wav(wave, sr)
+        if i == 60:  # truncated stream → decode_error row
+            payload = payload[: len(payload) // 2]
+        out.append((f"aud{i:04d}", payload))
+    return out
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: audio decode (deterministic fake) + RMS/peak/ZCR
-    features over an opaque binary column; value-checked against the
-    driver-side enumeration of the same payloads."""
+    """Multimodal: REAL RIFF/WAVE PCM decode + RMS/peak/ZCR features
+    over an opaque binary column; value-checked against the driver-side
+    enumeration of the same payloads."""
     from darc_spark.functions.multimodal import audio_features
 
     df = spark.createDataFrame(
@@ -1169,12 +1184,44 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mjpeg_payloads() -> list[tuple[str, bytes]]:
+    """Deterministic MJPEG corpus — REAL concatenated-JPEG streams
+    (multipart-style boundaries between frames, varying frame counts,
+    one torn payload for the never-throw path) — shared by the Spark
+    query and the driver-side oracle enumeration."""
+    import numpy as np
+
+    from darc_spark.functions.images import smooth_pixels
+    from darc_spark.functions.jpeg import encode_jpeg
+
+    out = []
+    for i in range(16):
+        n_frames = 4 + i % 5
+        frames = [
+            encode_jpeg(
+                smooth_pixels(np.random.default_rng(500 + i * 31 + f), 24),
+                quality=92,
+            )
+            for f in range(n_frames)
+        ]
+        sep = b"\r\n--frame\r\nContent-Type: image/jpeg\r\n\r\n"
+        payload = sep.join(frames)
+        if i == 13:  # torn mid-first-frame: no complete SOI..EOI span
+            payload = frames[0][: len(frames[0]) // 2]
+        out.append((f"vid{i}", payload))
+    return out
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: video frame sampling plumbing (deterministic fake)."""
+    """Multimodal: REAL MJPEG frame sampling — exact SOI/EOI split,
+    evenly spaced picks, per-frame JPEG decode + PNG re-encode; torn
+    payloads become frame_index −1 error rows."""
     from darc_spark.functions.multimodal import sample_frames
 
-    rows = [(f"vid{i}", bytearray(f"payload-{i}".encode() * 10)) for i in range(16)]
-    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    df = spark.createDataFrame(
+        [(m, bytearray(p)) for m, p in _mjpeg_payloads()],
+        "media_id string, bytes binary",
+    )
     return sample_frames(df, n_frames=3).select(
         "media_id", "frame_index", F.length("frame_bytes").alias("frame_len")
     )
@@ -1451,7 +1498,7 @@ def _export_python_oracles() -> None:
     # payloads q_image_features generates distributed — decode +
     # features are pure functions of (seed, i), so this is the expected
     # output modulo the Arrow/mapInPandas plumbing being checked
-    from darc_spark.functions.multimodal import fake_decode_frame, image_feature_row
+    from darc_spark.functions.multimodal import image_feature_row
 
     iweb = SynthWeb(seed=42)
     feats = []
@@ -1524,13 +1571,22 @@ def _export_python_oracles() -> None:
         os.path.join(_ORACLE_DIR, "audio_features.parquet"),
     )
 
-    # frame_sample: the deterministic fake decoder enumerated driver-side
-    # over the same 16 payloads q_frame_sample builds
+    # frame_sample: the REAL MJPEG split + JPEG decode + PNG re-encode
+    # enumerated driver-side over the same payloads q_frame_sample builds
+    from darc_spark.functions.multimodal import frame_sample_rows
+
     fr = []
-    for i in range(16):
-        payload = bytes(f"payload-{i}".encode() * 10)
-        for idx in range(3):
-            fr.append((f"vid{i}", idx, len(fake_decode_frame(payload, idx))))
+    for mid, payload in _mjpeg_payloads():
+        for r in frame_sample_rows(mid, payload, 3):
+            fr.append(
+                (
+                    r["media_id"],
+                    r["frame_index"],
+                    len(r["frame_bytes"])
+                    if r["frame_bytes"] is not None
+                    else None,
+                )
+            )
     pq.write_table(
         pa.table(
             {

@@ -8,15 +8,18 @@ schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning —
 is real and tested; codec backends resolve at runtime:
 
 * png/qpng  → the pure-stdlib codec (:mod:`darc_spark.functions.images`)
-* jpeg      → PIL if importable, else ``NotImplementedError`` (STUB —
-  this container has no image libraries)
-* audio/video → clearly-marked deterministic fakes (seeded from the
-  payload digest) so pipelines exercise the full distributed path.
+* jpeg      → PIL fast path when importable, else the from-spec
+  pure-Python baseline codec (:mod:`darc_spark.functions.jpeg`, with
+  an optional ctypes-compiled scan decoder) — real decode either way
+* audio     → real RIFF/WAVE PCM parse (:mod:`darc_spark.functions.wav`)
+* video     → real MJPEG frame split + JPEG decode
+  (:mod:`darc_spark.functions.video`); container formats needing a
+  media library (mp4/h264…) are out of scope in this dependency-free
+  build and would slot in behind the same operators.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -69,8 +72,6 @@ def image_feature_row(iid: object, data: object, fmt: object) -> dict:
             mean_b=float(means[2]),
             brightness=float(means.mean()),
         )
-    except NotImplementedError as exc:
-        row["decode_error"] = f"stub: {exc}"
     except Exception as exc:  # noqa: BLE001 - never-throw contract
         row["decode_error"] = f"{type(exc).__name__}: {exc}"
     else:
@@ -152,42 +153,45 @@ FRAMES = T.StructType(
 )
 
 
-def fake_decode_frame(payload: bytes, index: int) -> bytes:
-    """DETERMINISTIC FAKE frame decode (module-level so the oracle
-    export can enumerate it driver-side): seed from sha256(payload)."""
-    seed = int.from_bytes(
-        hashlib.sha256(payload + index.to_bytes(4, "little")).digest()[:8], "little"
-    )
-    rng = np.random.default_rng(seed)
-    return encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+def frame_sample_rows(mid: object, payload: bytes | None, n_frames: int) -> list[dict]:
+    """Pure per-payload frame sampling (shared by the distributed
+    operator and the driver-side oracle enumeration): split the MJPEG
+    stream, decode evenly spaced frames with the real JPEG codec,
+    re-encode PNG. A malformed payload yields ONE error-marked row
+    (frame_index −1, null bytes) — never a thrown task."""
+    from darc_spark.functions.video import frame_pixels
+
+    try:
+        if payload is None:
+            raise ValueError("null payload")
+        return [
+            {
+                "media_id": mid,
+                "frame_index": int(i),
+                "frame_bytes": encode_png(px),
+            }
+            for i, px in frame_pixels(bytes(payload), n_frames)
+        ]
+    except Exception:  # noqa: BLE001 - never-throw contract
+        return [{"media_id": mid, "frame_index": -1, "frame_bytes": None}]
 
 
 def sample_frames(
     df: DataFrame, n_frames: int = 3, id_col: str = "media_id", bytes_col: str = "bytes"
 ) -> DataFrame:
-    """Video frame sampling — DETERMINISTIC FAKE decoder.
-
-    No video library ships in this container; a real deployment swaps
-    :func:`fake_decode_frame` for pyav/ffmpeg. The fake derives each
-    frame seed from sha256(payload) so results are stable and testable;
-    the distributed shape (one media row → n frame rows, binary out) is
-    the real contract.
-    """
-    _fake_decode_frame = fake_decode_frame
+    """Video frame sampling over MJPEG payloads — REAL decode: exact
+    SOI/EOI frame split (:func:`darc_spark.functions.video.split_mjpeg`),
+    evenly spaced picks, per-frame JPEG decode (PIL fast path or the
+    from-spec codec), PNG re-encode. One media row → ≤ n_frames frame
+    rows; frame bytes never shuffle (mapInPandas, Arrow-batched). A
+    deployment needing mp4/h264 swaps the decoder behind this same
+    contract."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                payload = bytes(data) if data is not None else b""
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "media_id": mid,
-                            "frame_index": i,
-                            "frame_bytes": _fake_decode_frame(payload, i),
-                        }
-                    )
+                rows.extend(frame_sample_rows(mid, data, n_frames))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(fn, FRAMES)
@@ -206,25 +210,15 @@ AUDIO_FEATURES = T.StructType(
     ]
 )
 
-_AUDIO_SR = 16000
-
-
-def fake_decode_audio(payload: bytes, n_samples: int = 4096) -> "np.ndarray":
-    """DETERMINISTIC FAKE audio decode — no audio library ships in this
-    container; a real deployment swaps this for soundfile/librosa. The
-    fake derives a float32 waveform in [-1, 1) from sha256(payload), so
-    results are stable and the oracle can enumerate them driver-side
-    (module-level for exactly that reason, like :func:`fake_decode_frame`)."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
-
-
 def audio_feature_row(mid: object, data: object) -> dict:
     """Pure per-clip feature computation (shared by the distributed
-    operator and the driver-side oracle export). Feature shapes are the
-    standard audio-pipeline set (RMS energy, peak, zero-crossing count)
-    over the decoded waveform."""
+    operator and the driver-side oracle export): REAL RIFF/WAVE PCM
+    parse (:func:`darc_spark.functions.wav.decode_wav`), then the
+    standard audio-pipeline feature set — RMS energy, peak,
+    zero-crossing count — over the channel-mixed float64 waveform
+    (int16 normalized by 1/32768)."""
+    from darc_spark.functions.wav import decode_wav
+
     row = {
         "media_id": mid,
         "n_samples": None,
@@ -238,18 +232,16 @@ def audio_feature_row(mid: object, data: object) -> dict:
     try:
         if data is None:
             raise ValueError("null payload")
-        wave = fake_decode_audio(bytes(data))
-        wave64 = wave.astype(np.float64)
+        samples, sr = decode_wav(bytes(data))
+        wave64 = samples.astype(np.float64).mean(axis=1) / 32768.0
         row.update(
-            n_samples=int(wave.shape[0]),
-            sample_rate=_AUDIO_SR,
-            duration_ms=float(wave.shape[0] * 1000.0 / _AUDIO_SR),
+            n_samples=int(wave64.shape[0]),
+            sample_rate=int(sr),
+            duration_ms=float(wave64.shape[0] * 1000.0 / sr),
             rms=float(np.sqrt(np.mean(wave64 * wave64))),
             peak=float(np.max(np.abs(wave64))),
             zero_crossings=int(np.count_nonzero(np.diff(np.signbit(wave64)))),
         )
-    except NotImplementedError as exc:
-        row["decode_error"] = f"stub: {exc}"
     except Exception as exc:  # noqa: BLE001 - never-throw contract
         row["decode_error"] = f"{type(exc).__name__}: {exc}"
     return row
@@ -261,9 +253,11 @@ def audio_features(
     """Audio decode + feature-extract, Arrow-batched (mapInPandas) —
     the audio analogue of :func:`image_features`: opaque binary column
     in, per-clip scalar features out, payload never shuffled. The
-    decoder is the clearly-marked deterministic fake above; the
-    distributed contract (schema, batch shape, never-throw rows) is
-    real and value-checked."""
+    decoder is the real pure-stdlib RIFF/WAVE PCM parser
+    (:mod:`darc_spark.functions.wav`); malformed payloads become
+    decode_error rows (never a thrown task), and the whole pipeline is
+    value-checked against a driver-side enumeration of the same
+    payloads."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

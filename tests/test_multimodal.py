@@ -7,11 +7,11 @@ from darc_spark.functions.images import encode_lossy, encode_png, phash64
 from darc_spark.functions.multimodal import (
     audio_feature_row,
     audio_features,
-    fake_decode_audio,
     image_features,
     resize_images,
     sample_frames,
 )
+from darc_spark.functions.wav import decode_wav, encode_wav, tone_wave
 
 
 def _image_df(spark, n=12):
@@ -74,25 +74,70 @@ def test_resize_images(spark):
         assert decode_png(bytes(r["bytes"])).shape == (8, 8, 3)
 
 
-def test_sample_frames_deterministic(spark):
+def _mjpeg(seed: int, n_frames: int, sep: bytes = b"") -> bytes:
+    from darc_spark.functions.images import smooth_pixels
+    from darc_spark.functions.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(smooth_pixels(np.random.default_rng(seed + f), 24))
+        for f in range(n_frames)
+    ]
+    return sep + sep.join(frames)
+
+
+def test_sample_frames_real_mjpeg(spark):
+    """Real MJPEG sampling: evenly spaced frame picks decode to PNGs
+    that match a driver-side split+decode of the same stream; a torn
+    payload yields a single frame_index −1 error row."""
+    from darc_spark.functions.images import decode_jpeg, decode_png
+    from darc_spark.functions.video import sample_frame_indices, split_mjpeg
+
+    sep = b"\r\n--b\r\nContent-Type: image/jpeg\r\n\r\n"
+    p0 = _mjpeg(10, 5, sep)   # multipart-style boundaries between frames
+    p1 = _mjpeg(40, 2)        # fewer frames than n_frames → 2 rows
+    torn = _mjpeg(70, 1)[:40]
     df = spark.createDataFrame(
-        [("vid0", bytearray(b"payload-A" * 5)), ("vid1", bytearray(b"payload-B" * 5))],
+        [("vid0", bytearray(p0)), ("vid1", bytearray(p1)),
+         ("torn", bytearray(torn))],
         "media_id string, bytes binary",
     )
-    a = sample_frames(df, n_frames=3).collect()
-    b = sample_frames(df, n_frames=3).collect()
-    key = lambda r: (r["media_id"], r["frame_index"])
-    assert sorted([(key(r), bytes(r["frame_bytes"])) for r in a]) == sorted(
-        [(key(r), bytes(r["frame_bytes"])) for r in b]
+    rows = sample_frames(df, n_frames=3).collect()
+    by_media: dict[str, dict[int, bytes | None]] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], {})[r["frame_index"]] = (
+            bytes(r["frame_bytes"]) if r["frame_bytes"] is not None else None
+        )
+    assert set(by_media["vid0"]) == set(sample_frame_indices(5, 3))
+    assert set(by_media["vid1"]) == {0, 1}
+    assert by_media["torn"] == {-1: None}
+    # pixel-exact vs a driver-side decode of the same split
+    frames0 = split_mjpeg(p0)
+    for idx, png in by_media["vid0"].items():
+        assert (decode_png(png) == decode_jpeg(frames0[idx])).all()
+    # deterministic across runs
+    again = sample_frames(df, n_frames=3).collect()
+    assert sorted(
+        (r["media_id"], r["frame_index"], bytes(r["frame_bytes"] or b""))
+        for r in again
+    ) == sorted(
+        (r["media_id"], r["frame_index"], bytes(r["frame_bytes"] or b""))
+        for r in rows
     )
-    assert len(a) == 6
 
 
-def test_audio_features_deterministic_and_matches_pure(spark):
-    """Distributed audio features == driver-side pure computation (the
-    same contract the oracle export relies on), and null payloads take
-    the never-throw decode_error path."""
-    payloads = [("aud0", b"clip-A" * 7), ("aud1", b"clip-B" * 9), ("bad", None)]
+def test_audio_features_real_wav_matches_pure(spark):
+    """Distributed audio features over REAL WAV payloads == driver-side
+    pure computation (the contract the oracle export relies on); null
+    and corrupt payloads take the never-throw decode_error path."""
+    wav_a = encode_wav(tone_wave(1, 4096, 16000), 16000)
+    stereo = np.stack([tone_wave(2, 3000, 8000)] * 2, axis=1)
+    wav_b = encode_wav(stereo, 8000)
+    payloads = [
+        ("aud0", wav_a),
+        ("aud1", wav_b),
+        ("corrupt", wav_a[:30]),
+        ("bad", None),
+    ]
     df = spark.createDataFrame(
         [(m, bytearray(p) if p is not None else None) for m, p in payloads],
         "media_id string, bytes binary",
@@ -107,8 +152,12 @@ def test_audio_features_deterministic_and_matches_pure(spark):
             else:
                 assert r[k] == v, (mid, k)
     assert got["bad"]["decode_error"] is not None
+    assert got["corrupt"]["decode_error"] is not None
     assert got["aud0"]["n_samples"] == 4096
+    assert got["aud0"]["sample_rate"] == 16000
+    assert got["aud1"]["n_samples"] == 3000
+    assert abs(got["aud1"]["duration_ms"] - 375.0) < 1e-9
     assert 0.0 < got["aud0"]["rms"] < 1.0
-    # decode is a pure function of the payload
-    w1, w2 = fake_decode_audio(b"clip-A" * 7), fake_decode_audio(b"clip-A" * 7)
-    assert (w1 == w2).all()
+    # the waveform really is what we encoded: RMS matches numpy exactly
+    w64 = tone_wave(1, 4096, 16000).astype(np.float64) / 32768.0
+    assert abs(got["aud0"]["rms"] - float(np.sqrt(np.mean(w64 * w64)))) < 1e-12
