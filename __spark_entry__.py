@@ -206,6 +206,48 @@ def q_url_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(seen, ["user_id", "k"], "left_anti")
 
 
+def q_stream_url_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.8 streaming: stateful URL-seen dedup end state == batch DISTINCT.
+
+    The events table is folded into URLs with natural duplicates
+    (user_id % 41 hosts × event_id % 500 paths), written as 4 text part
+    files, and drained by the ``applyInPandasWithState`` streaming dedup
+    one file per micro-batch (availableNow) — so seen-state must carry
+    across 4 real micro-batches. The emitted (url, name) set is compared
+    to the SQL ``SELECT DISTINCT`` ground truth: any state loss between
+    batches re-emits duplicates and breaks the row count; any over-eager
+    state drops fresh URLs and breaks it the other way. Reference:
+    ZADD-NX on the url-seen zset (darc/db.py:555-568)."""
+    import os
+    import tempfile
+
+    from darc_spark.streaming.stream import url_seen_dedup_stream
+
+    (events,) = _load(spark, sf_dir, "events")
+    urls = events.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 41).cast("string"),
+            F.lit(".example/p"),
+            (F.col("event_id") % 500).cast("string"),
+        ).alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="stream_seen_")
+    seed_dir = os.path.join(root, "seeds")
+    urls.repartition(4).write.mode("overwrite").text(seed_dir)
+    q = url_seen_dedup_stream(
+        spark,
+        seed_dir,
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "out"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert q.lastProgress is None or not q.isActive
+    return spark.read.parquet(os.path.join(root, "out")).select("url", "name")
+
+
 def q_hostname_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2: hostname alive=any(ok), since=min(ts) rollup."""
     (events,) = _load(spark, sf_dir, "events")
@@ -1262,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_name_sha256": q_url_name_sha256,
         "frontier_claim": q_frontier_claim,
         "url_seen_dedup": q_url_seen_dedup,
+        "stream_url_seen": q_stream_url_seen,
         "hostname_agg": q_hostname_agg,
         "link_graph_join": q_link_graph_join,
         "redirect_history": q_redirect_history,
@@ -1943,6 +1986,15 @@ batch AS (
 )
 SELECT b.user_id, b.k FROM batch b
 ANTI JOIN seen s ON b.user_id = s.user_id AND b.k = s.k
+""",
+        # streaming end-state must equal the batch DISTINCT ground truth
+        "stream_url_seen": """
+WITH urls AS (
+  SELECT DISTINCT 'http://h' || CAST(user_id % 41 AS VARCHAR)
+         || '.example/p' || CAST(event_id % 500 AS VARCHAR) AS url
+  FROM events
+)
+SELECT url, sha256(url) AS name FROM urls
 """,
         "hostname_agg": """
 SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -163,6 +163,13 @@ def cosine_near_pairs(
     candidate set is deduplicated, so the candidate shuffle never ships
     vector payloads (×n_bands) and the exact-cosine verify runs once per
     distinct pair.
+
+    .. versionchanged:: round 4
+       Defaults changed from ``n_bits=16, band_bits=4`` (near-exact
+       collision behavior, small-corpus only) to ``n_bits=64,
+       band_bits=16``: callers relying on the old defaults get ≈90%
+       per-pair recall at 0.9+ thresholds instead of ≈100%; pass the
+       old values explicitly to restore permissive banding.
     """
     n_bands = n_bits // band_bits
     sigs = lsh_signatures(df, n_bits, dims, id_col, vec_col).select(id_col, "sig")

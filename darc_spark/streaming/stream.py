@@ -88,6 +88,8 @@ def url_seen_dedup_stream(
     checkpoint_dir: str,
     out_dir: str,
     n_buckets: int = 8,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stateful streaming URL-seen dedup — the Structured Streaming
     equivalent of the reference's ZADD-NX (``darc/db.py:555-568``),
@@ -101,11 +103,20 @@ def url_seen_dedup_stream(
     streaming checkpoint). Per-bucket state is exactly the partitioned
     filter shape the batch engine uses: at 10^10 URLs, state size per
     bucket is bounded by the bucket count knob, not the stream length.
+
+    ``available_now=True`` runs a one-shot drain (process everything
+    currently in ``seed_dir``, then terminate) — with
+    ``max_files_per_trigger`` the drain still splits into multiple
+    micro-batches, so cross-batch state carry is exercised even in a
+    bounded run (the shape the oracle gate uses).
     """
     import os as _os
 
     _os.makedirs(seed_dir, exist_ok=True)
-    stream = spark.readStream.format("text").load(seed_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(seed_dir)
     urls = stream.select(F.trim("value").alias("url")).filter(
         (F.col("url") != "") & ~F.col("url").startswith("#")
     )
@@ -146,13 +157,15 @@ def url_seen_dedup_stream(
     )
     # parquet sink: fault-tolerant (exactly-once file commit log), so the
     # query RESUMES from the checkpoint — memory sinks cannot recover
-    return (
+    writer = (
         out.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def event_windows_stream(
