@@ -1227,14 +1227,16 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mjpeg_payloads() -> list[tuple[str, bytes]]:
-    """Deterministic MJPEG corpus — REAL concatenated-JPEG streams
-    (multipart-style boundaries between frames, varying frame counts,
-    one torn payload for the never-throw path) — shared by the Spark
-    query and the driver-side oracle enumeration."""
+    """Deterministic MJPEG corpus — REAL streams in both wire shapes:
+    concatenated JPEG with multipart-style boundaries AND AVI/MJPG RIFF
+    containers (every third payload), varying frame counts, one torn
+    payload for the never-throw path — shared by the Spark query and
+    the driver-side oracle enumeration."""
     import numpy as np
 
     from darc_spark.functions.images import smooth_pixels
     from darc_spark.functions.jpeg import encode_jpeg
+    from darc_spark.functions.video import encode_avi_mjpg
 
     out = []
     for i in range(16):
@@ -1246,8 +1248,11 @@ def _mjpeg_payloads() -> list[tuple[str, bytes]]:
             )
             for f in range(n_frames)
         ]
-        sep = b"\r\n--frame\r\nContent-Type: image/jpeg\r\n\r\n"
-        payload = sep.join(frames)
+        if i % 3 == 2:  # AVI/MJPG container path
+            payload = encode_avi_mjpg(frames, 24, 24)
+        else:  # raw multipart-style stream path
+            sep = b"\r\n--frame\r\nContent-Type: image/jpeg\r\n\r\n"
+            payload = sep.join(frames)
         if i == 13:  # torn mid-first-frame: no complete SOI..EOI span
             payload = frames[0][: len(frames[0]) // 2]
         out.append((f"vid{i}", payload))

@@ -25,7 +25,10 @@ import pytest
 from darc_spark.functions.images import smooth_pixels
 from darc_spark.functions.jpeg import encode_jpeg
 from darc_spark.functions.video import (
+    encode_avi_mjpg,
     sample_frame_indices,
+    split_avi_mjpg,
+    split_frames,
     split_mjpeg,
 )
 from darc_spark.functions.wav import decode_wav, encode_wav, tone_wave
@@ -180,6 +183,46 @@ def test_entropy_ff_bytes_cannot_fake_eoi():
     frames = _frames(400, 5)
     for f in split_mjpeg(b"".join(frames)):
         assert decode_jpeg(f).shape == (24, 24, 3)
+
+
+def test_avi_mjpg_roundtrip():
+    frames = _frames(500, 6)
+    avi = encode_avi_mjpg(frames, 24, 24, fps=10)
+    assert split_avi_mjpg(avi) == frames
+    assert split_frames(avi) == frames  # dispatch picks the RIFF walk
+
+
+def test_avi_idx1_bytes_cannot_fake_frames():
+    """An idx1 index whose entries happen to contain FF D8 / FF D9 byte
+    pairs must not yield phantom frames — the RIFF walk never raw-scans
+    outside movi. (A raw SOI/EOI scan over the whole file would break
+    here.)"""
+    import struct as _s
+
+    frames = _frames(600, 2)
+    avi = bytearray(encode_avi_mjpg(frames, 24, 24))
+    # graft adversarial SOI/EOI bytes into the idx1 entries' offset field
+    i = avi.find(b"idx1")
+    assert i > 0
+    _s.pack_into("<I", avi, i + 8 + 4, 0xD9FFD8FF)  # little-endian FF D8 FF D9
+    got = split_avi_mjpg(bytes(avi))
+    assert got == frames
+    # ...while the raw scan over the same bytes sees a phantom boundary
+    raw = split_mjpeg(bytes(avi))
+    assert raw != frames
+
+
+def test_avi_non_avi_returns_none_torn_raises():
+    assert split_avi_mjpg(b"\xff\xd8 not riff") is None
+    frames = _frames(700, 3)
+    avi = encode_avi_mjpg(frames, 24, 24)
+    # tear inside the movi list: complete chunks survive
+    torn = avi[: avi.find(b"00dc", avi.find(b"00dc") + 4) + 10]
+    assert split_avi_mjpg(torn) == frames[:1]
+    # header-only AVI (no frame) raises
+    headless = avi[: avi.find(b"movi") + 4]
+    with pytest.raises(ValueError):
+        split_avi_mjpg(headless)
 
 
 def test_sample_frame_indices_properties():
