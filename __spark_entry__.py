@@ -75,17 +75,36 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     (darc/proxy/null.py:110-141)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
+    # key on the source table's CONTENT fingerprint (size + mtime), not
+    # just its path: a regenerated corpus at the same path must rebuild,
+    # never serve a stale index
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "nosrc"
     key = hashlib.md5(
-        f"ann-v1|{os.path.abspath(sf_dir)}|{kind}".encode()
+        f"ann-v2|{os.path.abspath(sf_dir)}|{fp}|{kind}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), "darc_ann_index", f"{kind}_{key}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build(path)
-    return spark.read.parquet(path)
+        # build into a private dir, publish by atomic rename: two
+        # concurrent processes can't interleave writes into one target
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another process published first — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    from darc_spark.functions.similarity import read_ann_index
+
+    return read_ann_index(spark, path)
 
 
 # ---------------------------------------------------------------------------

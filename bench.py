@@ -48,6 +48,8 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_ivfpq_residual",
     "image_features",
+    "frame_sample",
+    "audio_features",
     "corpus_clean",
     "image_phash_dedup",
     "token_count",
@@ -259,11 +261,16 @@ def jpeg_decode_bench() -> dict:
     img = (
         (np.sin(x)[:, None] * np.cos(x)[None, :] * 0.5 + 0.5) * 255
     ).astype("uint8")
-    out = {}
+    out = {"jpeg_native_available": jn.available()}
+    # without a working C toolchain the "native" rows would silently
+    # time the Python fallback — skip them instead of misreporting
+    variants = (
+        (("native", False), ("py", True)) if jn.available() else (("py", True),)
+    )
     for side, reps in ((32, 200), (128, 30)):
         tile = np.stack([img[:side, :side]] * 3, axis=-1)
         data = encode_jpeg(tile, quality=92)
-        for label, force_py in (("native", False), ("py", True)):
+        for label, force_py in variants:
             if force_py:
                 saved = jn._lib, jn._tried
                 jn._lib, jn._tried = None, True

@@ -172,7 +172,7 @@ class _Lut(list):
     per-symbol loop) carrying its uint16 ndarray twin for the optional
     native scan decoder (:mod:`darc_spark.functions.jpeg_native`)."""
 
-    __slots__ = ("np",)
+    __slots__ = ("np", "key")
 
 
 _LUT_CACHE: dict[tuple, "_Lut"] = {}
@@ -232,6 +232,7 @@ def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
         code <<= 1
     out = _Lut(lut.tolist())
     out.np = lut
+    out.key = key  # content key — _PACK_CACHE must never key on id()
     if len(_LUT_CACHE) > 64:  # bound worst-case adversarial-corpus growth
         _LUT_CACHE.clear()
         _PACK_CACHE.clear()
@@ -319,10 +320,11 @@ class _ScanReader:
         # 0xFF padding past the end: spec pad bits are 1s, and any decode
         # that walks into it either finishes a legal final EOB inside the
         # last real byte or overruns nbits and raises. The pad is sized
-        # for a WHOLE garbage block (64 coefficients × ≤27 bits ≈ 216
-        # bytes): the overrun check runs once per block, not per symbol,
-        # so the window index must stay in range until it fires.
-        pad = np.concatenate([seg, np.full(224, 0xFF, np.uint8)]).astype(
+        # for a WHOLE worst-case garbage block — 64 coefficients × (16-bit
+        # code + 15-bit magnitude) = 1984 bits = 248 bytes: the overrun
+        # check runs once per block, not per symbol, so the window index
+        # must stay in range until it fires.
+        pad = np.concatenate([seg, np.full(256, 0xFF, np.uint8)]).astype(
             np.uint32
         )
         # plain list: indexed once or twice per symbol with Python ints,
@@ -660,8 +662,11 @@ def _decode_scan(data, pos, frame, scan_tabs, qts, huff, restart_interval):
         # native fast path: the same scan loop compiled to C — the
         # pure-Python loop below is the reference implementation and
         # the differential tests pin both to identical output
+        # keyed by LUT CONTENT, not id(): a _Lut evicted from _LUT_CACHE
+        # mid-batch can be freed and its address reused by a different
+        # table, which would silently serve the wrong concatenated LUTs
         pack_key = tuple(
-            id(t) for m in comp_meta for t in (m[1], m[2])
+            t.key for m in comp_meta for t in (m[1], m[2])
         )
         luts = _PACK_CACHE.get(pack_key)
         if luts is None:

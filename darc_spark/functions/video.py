@@ -37,12 +37,72 @@ _SOI = b"\xff\xd8"
 _EOI = b"\xff\xd9"
 
 
+def _frame_end(payload: bytes, start: int) -> int | None:
+    """End offset (exclusive) of the JPEG frame starting at ``start``
+    (which must point at SOI), or None if the frame is torn.
+
+    Marker-structure walk, not a raw EOI scan: marker SEGMENT payloads
+    are NOT byte-stuffed — an EXIF APP1 routinely embeds a whole
+    thumbnail JPEG (its own SOI..EOI), and DQT/DHT bytes can equal
+    FF D9 — so lengths must be honored up to SOS. Only from SOS onward
+    is entropy data stuffed (FF 00) and a bare FF D9 a true frame end."""
+    n = len(payload)
+    pos = start + 2
+    while True:
+        # --- marker segments until SOS/EOI ---
+        while True:
+            if pos + 2 > n:
+                return None
+            if payload[pos] != 0xFF:
+                return None  # not a marker where one must be: corrupt
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before any scan (header-only JPEG)
+                return pos + 2
+            if marker == 0xDA:  # SOS
+                if pos + 4 > n:
+                    return None
+                seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+                pos += 2 + seg_len
+                break
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: bare
+                pos += 2
+                continue
+            if pos + 4 > n:
+                return None
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            if seg_len < 2:
+                return None
+            pos += 2 + seg_len  # skips any embedded-thumbnail FF D9
+        # --- entropy-coded data: FF is stuffed (FF 00) or a marker ---
+        while True:
+            ff = payload.find(b"\xff", pos)
+            if ff < 0 or ff + 2 > n:
+                return None  # torn scan
+            nxt = payload[ff + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / RSTn
+                pos = ff + 2
+                continue
+            if nxt == 0xD9:  # true EOI
+                return ff + 2
+            if nxt == 0xFF:  # fill byte run
+                pos = ff + 1
+                continue
+            # another marker (DNL, or a new scan's tables/SOS):
+            # back to the marker-segment walk
+            pos = ff
+            break
+
+
 def split_mjpeg(payload: bytes) -> list[bytes]:
     """Concatenated-JPEG stream → list of single-JPEG byte strings.
 
-    Walks SOI→EOI spans; bytes between frames (multipart boundaries,
-    AVI chunk headers) are skipped. Raises ``ValueError`` if no
-    complete frame is present."""
+    Finds each SOI then walks that frame's marker structure to its true
+    EOI (:func:`_frame_end` — EXIF thumbnails and table payloads may
+    legally contain FF D9 bytes, so segment lengths are honored); bytes
+    between frames (multipart boundaries, AVI chunk headers) are
+    skipped. A torn final frame is dropped; a frame whose structure is
+    corrupt past SOI ends the stream (keep the complete leading
+    frames). Raises ``ValueError`` if no complete frame is present."""
     frames: list[bytes] = []
     pos = 0
     n = len(payload)
@@ -50,11 +110,11 @@ def split_mjpeg(payload: bytes) -> list[bytes]:
         start = payload.find(_SOI, pos)
         if start < 0:
             break
-        end = payload.find(_EOI, start + 2)
-        if end < 0:
-            break  # torn final frame — keep the complete ones
-        frames.append(payload[start : end + 2])
-        pos = end + 2
+        end = _frame_end(payload, start)
+        if end is None:
+            break  # torn/corrupt tail — keep the complete ones
+        frames.append(payload[start:end])
+        pos = end
         if pos >= n:
             break
     if not frames:

@@ -174,6 +174,19 @@ class Crawler:
             if "round" in meta and "ts" in meta:
                 self._round_ts[int(meta["round"])] = float(meta["ts"])
 
+    def _commit(self, meta: dict) -> None:
+        """Commit with the round→ts history attached — EVERY manifest
+        this class writes must carry the full ``round_ts`` map, or a
+        later ``expire_snapshots`` surviving only that manifest would
+        erase the lease timeline (hosts fetched in expired rounds would
+        permanently escape TIME_CACHE refetch)."""
+        if self._round_ts:
+            meta = {
+                **meta,
+                "round_ts": {str(rr): ts for rr, ts in self._round_ts.items()},
+            }
+        self.store.commit(meta)
+
     def _all_manifest_metas(self) -> list[dict]:
         import json as _json
         import os as _os
@@ -249,7 +262,7 @@ class Crawler:
         df = self.spark.createDataFrame([(u,) for u in urls], "url string")
         links = with_parsed_link(df).withColumn("backref", F.lit(None).cast("string"))
         self.fr_req.enqueue_nx(links, self.round, use_filter=self.cfg.use_seen_filter)
-        self.store.commit({"round": self.round - 1, "op": "seed"})
+        self._commit({"round": self.round - 1, "op": "seed"})
 
     # -- state dims --------------------------------------------------------------
     def _hostname_state(self, include_staged: bool = False) -> DataFrame:
@@ -1044,16 +1057,7 @@ class Crawler:
             metrics["host_pending_mean"] = float(st["m"] or 0.0)
             metrics["host_pending_max"] = float(st["x"] or 0.0)
             metrics["escalate_threshold"] = float(self._round_escalate)
-        self.store.commit(
-            {
-                "round": r,
-                "metrics": metrics,
-                "ts": self._round_now,
-                # full history rides every commit so time-mode staleness
-                # still sees old rounds after their manifests are expired
-                "round_ts": {str(rr): ts for rr, ts in self._round_ts.items()},
-            }
-        )
+        self._commit({"round": r, "metrics": metrics, "ts": self._round_now})
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests
         # a graceful stop AFTER this committed round — metrics are kept.

@@ -111,6 +111,7 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
         ivf_cells,
         ivf_topk_from_index,
         probe_cells,
+        read_ann_index,
         write_ivf_index,
     )
 
@@ -123,7 +124,7 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
-    idx = spark.read.parquet(path)
+    idx = read_ann_index(spark, path)
     probed = ivf_topk_from_index(idx, qvec, cells, k=5, n_probe=2)
     probe = set(probe_cells(qvec, cells, 2))
 
@@ -165,6 +166,7 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path):
         ivfpq_topk_from_index,
         pq_codebooks,
         probe_cells,
+        read_ann_index,
         write_ivfpq_index,
     )
 
@@ -179,7 +181,7 @@ def test_ivfpq_index_probe_prunes_partitions(spark, tmp_path):
     for residual in (False, True):
         path = str(tmp_path / f"ivfpq_idx_{residual}")
         write_ivfpq_index(emb, path, cells, books, residual=residual)
-        idx = spark.read.parquet(path)
+        idx = read_ann_index(spark, path)
         topk = ivfpq_topk_from_index(
             idx, qvec, cells, books, k=5, n_probe=2, residual=residual
         )

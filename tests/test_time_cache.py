@@ -309,3 +309,31 @@ def test_time_mode_history_survives_snapshot_expiry(spark, tmp_path):
     assert after > before, (
         "lease history lost to snapshot expiry: stale host never refetched"
     )
+
+
+def test_seed_commit_carries_round_ts_history(spark, tmp_path):
+    """Re-seeding an existing crawl also commits a manifest — if THAT
+    manifest is the only survivor of expire_snapshots it must still
+    carry the round→ts history (the round-commit-only variant of the
+    carry loses the timeline exactly when a seed was the last write)."""
+    spr = 100.0
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+
+    def mk_cfg(clock):
+        return CrawlConfig(
+            per_host=4, lease=2, max_retries=0, revisit=2,
+            lease_mode="time", time_cache_seconds=3 * spr, clock=clock,
+            selenium_enabled=False, n_filter_buckets=4,
+        )
+
+    c1 = Crawler(spark, str(tmp_path / "seedexp"), web, mk_cfg(_stepper(spr)))
+    c1.seed(web.seeds())
+    c1.run_round()  # round 0 @ t=0
+    c1.run_round()  # round 1 @ t=100
+    # re-seed (a mid-crawl CLI seed drop), then expire all older manifests
+    c1.seed([web.url(web.hosts[1], 7)])
+    c1.store.expire_snapshots(keep_last=1)
+    c2 = Crawler(spark, str(tmp_path / "seedexp"), web, mk_cfg(_stepper(spr)))
+    assert c2._round_ts[0] == 0.0 and c2._round_ts[1] == spr, (
+        "seed commit dropped the round_ts history"
+    )

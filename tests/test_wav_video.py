@@ -174,6 +174,36 @@ def test_split_mjpeg_no_complete_frame_raises():
         split_mjpeg(b"not a jpeg stream at all")
 
 
+def _with_exif_thumbnail(frame: bytes, thumb: bytes) -> bytes:
+    """Splice an EXIF-style APP1 segment whose payload embeds a whole
+    thumbnail JPEG (its own SOI..EOI) right after the frame's SOI —
+    the standard camera-JPEG layout."""
+    body = b"Exif\x00\x00" + thumb
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return frame[:2] + app1 + frame[2:]
+
+
+def test_split_mjpeg_exif_thumbnail_not_a_boundary():
+    """A frame whose APP1 carries an embedded thumbnail JPEG (inner
+    FF D9!) must split at the OUTER frame's EOI — a raw EOI scan would
+    truncate the frame at the thumbnail and corrupt every such frame."""
+    from darc_spark.functions.images import decode_jpeg
+
+    frames = _frames(800, 3)
+    thumb = encode_jpeg(smooth_pixels(np.random.default_rng(801), 16))
+    rich = [_with_exif_thumbnail(f, thumb) for f in frames]
+    got = split_mjpeg(b"".join(rich))
+    assert got == rich
+    for f in got:  # and each split frame still decodes
+        assert decode_jpeg(f).shape == (24, 24, 3)
+    # DQT-payload bytes that equal FF D9 must not split either
+    fake_dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(
+        [0xFF, 0xD9] * 32
+    )
+    tricky = frames[0][:2] + fake_dqt + frames[0][2:]
+    assert split_mjpeg(tricky + frames[1]) == [tricky, frames[1]]
+
+
 def test_entropy_ff_bytes_cannot_fake_eoi():
     """Inside a frame's entropy-coded data every 0xFF is stuffed as
     FF 00 or is a real marker, so a raw FF D9 scan never splits a frame
