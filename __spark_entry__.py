@@ -890,6 +890,44 @@ def q_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: measured recall@10 of the IVF index
+    (8 cells, n_probe=2) against the exact cosine top-10, per query,
+    over a 16-query batch. The exact side is the deliberate O(Q·N)
+    ground-truth scan (``cosine_topk_batch``); the ANN side is the
+    batched serving path over the SAME materialized cell-partitioned
+    index the ``ann_ivf`` query probes (union-of-probed-cells isin →
+    partition pruning, broadcast probe join). Recall is integer hit
+    counts, so the oracle match is exact — this turns "the index is
+    correct" into "and here is how good it is", the number a real
+    10^10-row deployment tunes n_probe against."""
+    from darc_spark.functions.similarity import (
+        cosine_topk_batch,
+        ivf_cells,
+        ivf_topk_batch_from_index,
+        recall_at_k,
+        write_ivf_index,
+    )
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cells = ivf_cells(8, 64)
+    idx = _ann_index(
+        spark, sf_dir, "ivf8", lambda p: write_ivf_index(emb, p, cells)
+    )
+    exact = cosine_topk_batch(emb, queries_df, k=10)
+    approx = ivf_topk_batch_from_index(
+        idx, queries_df, cells, k=10, n_probe=2
+    )
+    return recall_at_k(exact, approx, 10).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("hits"),
+        F.col("recall_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1360,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
+        "ann_recall": q_ann_recall,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -1894,6 +1933,93 @@ def _pq_res_duck(m: int, ksub: int, dims: int) -> str:
   FROM codes JOIN lut USING (cell, sub, code)
   GROUP BY vec_id
 )
+"""
+
+
+def _ann_recall_duck(
+    n_cells: int, n_probe: int, dims: int, n_q: int, k: int
+) -> str:
+    """Full SQL for the IVF recall@k evaluation: exact per-query
+    top-k (O(Q·N) cross join + window), the same literal-codebook
+    assignment + per-query probe as ``_ivf_duck`` generalized to a
+    query batch, and integer hit counts. Same float64 op order and
+    (cosine DESC, vec_id) / (dist, cell) tie-breaks as the engine's
+    ``cosine_topk_batch`` / ``probe_cells_batch``."""
+    from darc_spark.functions.similarity import ivf_cells
+
+    cells = ivf_cells(n_cells, dims)
+    rows = []
+    for i, c in enumerate(cells):
+        n2 = sum(x * x for x in c)
+        lit = ", ".join(repr(v) for v in c)
+        rows.append(f"({i}, [{lit}]::DOUBLE[], {n2!r})")
+    values = ",\n  ".join(rows)
+    dist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(embedding[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    qdist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(qv[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    cos = (
+        "list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)), "
+        "(a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(e.embedding[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE)), "
+        "(a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(q.qv[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)), "
+        "(a, b) -> a + b)))"
+    ).format(d=dims)
+    return f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS t(cell, c, n2)
+), qs AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {n_q}
+), exact_scored AS (
+  SELECT q.q_id, e.vec_id, {cos} AS cosine
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id != q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM exact_scored) WHERE rn <= {k}
+), assign AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ({dist}), cell) AS rn
+  FROM embeddings CROSS JOIN cells
+), amem AS (
+  SELECT vec_id, cell FROM assign WHERE rn = 1
+), probe AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, cells.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY ({qdist}), cells.cell) AS rn
+    FROM qs q CROSS JOIN cells) WHERE rn <= {n_probe}
+), approx_scored AS (
+  SELECT p.q_id, e.vec_id, {cos} AS cosine
+  FROM amem a JOIN probe p USING (cell)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qs q ON q.q_id = p.q_id
+  WHERE a.vec_id != p.q_id
+), approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM approx_scored) WHERE rn <= {k}
+), hits AS (
+  SELECT e.q_id, count(*) AS hits
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT CAST(q.q_id AS BIGINT) AS q_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(floor(coalesce(h.hits, 0) * 1000000.0 / {k} + 0.5) AS BIGINT) AS recall_e6
+FROM (SELECT DISTINCT q_id FROM qs) q LEFT JOIN hits h ON h.q_id = q.q_id
 """
 
 
@@ -2524,6 +2650,7 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM scored WHERE vec_id != 0
 ORDER BY adc, vec_id LIMIT 5
 """,
+        "ann_recall": _ann_recall_duck(8, 2, 64, 16, 10),
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole
         # guarantees the banded candidates lose no pair, and this asserts it

@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_pq",
     "ann_ivfpq",
     "ann_ivfpq_residual",
+    "ann_recall",
     "image_features",
     "frame_sample",
     "audio_features",

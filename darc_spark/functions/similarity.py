@@ -378,6 +378,168 @@ def ivf_topk_from_index(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, q_id_col: str, id_col: str
+) -> DataFrame:
+    """Top-k rows per query by (cosine DESC, id ASC) — two-stage.
+
+    Stage 1 prunes to the k best rows per (query, input partition):
+    the shuffle key space is Q × P, so a small query batch against a
+    huge corpus never funnels the whole score table through Q reducer
+    partitions. Stage 2 ranks the surviving ≤ Q·P·k rows globally per
+    query. The global top-k is always a subset of the union of
+    per-partition top-ks, so the two-stage result is exact.
+    """
+    from pyspark.sql import Window
+
+    local = Window.partitionBy(
+        q_id_col, F.col("_pid")
+    ).orderBy(F.col("cosine").desc(), F.col(id_col))
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
+    )
+    final = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact multi-query cosine top-k: broadcast the (small) query
+    batch against the corpus and rank per query.
+
+    Deliberately O(Q·N) — this is the ground-truth side of an ANN
+    recall evaluation, run over a SAMPLED query batch, not a serving
+    path. Scoring is JVM-side ``zip_with``/``aggregate``; ranking is
+    the two-stage per-partition prune of :func:`_topk_per_query`, so
+    the only full-size intermediate is the score stream itself.
+    Returns (q_id, id, cosine) rows, ≤ k per query.
+    """
+    j = df.crossJoin(F.broadcast(queries_df))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col(q_vec_col))
+            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
+        ).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    return _topk_per_query(scored, k, q_id_col, id_col)
+
+
+def probe_cells_batch(
+    queries_df: DataFrame,
+    cells: list[list[float]],
+    n_probe: int,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Per-query probe-cell choice, JVM-side: one (q_id, q_vec, cell)
+    row per probed cell. Distances use the same ``||c||² − 2·v·c``
+    literals and float64 op order as :func:`_codeword_dists`, and the
+    (dist, cell) tie-break matches the driver-side
+    :func:`probe_cells` and the DuckDB oracle — ``array_sort`` on
+    (dist, cell) structs is the lexicographic sort ``sorted()`` does.
+    """
+    qd = _codeword_dists(F.col(q_vec_col), cells)
+    idx = F.sequence(F.lit(0), F.lit(len(cells) - 1))
+    pairs = F.zip_with(
+        qd, idx, lambda d, i: F.struct(d.alias("d"), i.alias("cell"))
+    )
+    top = F.slice(F.array_sort(pairs), 1, n_probe)
+    return queries_df.select(
+        F.col(q_id_col),
+        F.col(q_vec_col),
+        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
+    )
+
+
+def ivf_topk_batch_from_index(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    cells: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF serving over a materialized index: every query in
+    the batch probes its ``n_probe`` nearest cells; the index is read
+    ONCE filtered to the union of probed cells (a static ``isin`` on
+    the partition column → file-level pruning, same as the single-query
+    path), then a broadcast join fans each index row out to only the
+    queries probing its cell. The probe list collect is bounded
+    metadata: ≤ ``len(cells)`` distinct values.
+    """
+    probes = probe_cells_batch(
+        queries_df, cells, n_probe, q_id_col, q_vec_col
+    )
+    probed = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    pool = index_df.filter(F.col("cell").isin(probed))
+    j = pool.join(F.broadcast(probes), "cell")
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        (
+            dot(F.col(vec_col), F.col(q_vec_col))
+            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
+        ).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    return _topk_per_query(scored, k, q_id_col, id_col)
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    |approx ∩ exact| / k. Pure integer arithmetic (hit counts), so the
+    output is oracle-exact; queries whose ANN result misses everything
+    still get a row (left join from the exact side's query set).
+    Returns (q_id, hits, recall_e6).
+    """
+    qs = exact.select(q_id_col).distinct()
+    hits = (
+        exact.join(approx, [q_id_col, id_col], "left_semi")
+        .groupBy(q_id_col)
+        .agg(F.count("*").alias("hits"))
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return qs.join(hits, q_id_col, "left").select(
+        F.col(q_id_col),
+        h.cast("long").alias("hits"),
+        F.floor(h * 1000000 / k + 0.5).cast("long").alias("recall_e6"),
+    )
+
+
 def _dot_py(a: list[float], b: list[float]) -> float:
     """Left-to-right float64 dot — bit-identical to ``F.aggregate`` /
     DuckDB ``list_reduce`` accumulation order."""

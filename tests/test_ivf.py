@@ -317,3 +317,121 @@ def test_residual_encoding_beats_raw(spark):
     # sanity floor only: at m=8, ksub=16 (4-bit codes) recall@10 on this
     # corpus is ~0.3 — the comparative claim above is the test's point
     assert r_res >= 0.2, r_res
+
+
+# ---------------------------------------------------------------------------
+# batched multi-query serving + recall evaluation
+
+
+def test_probe_cells_batch_matches_driver_probe(spark):
+    from darc_spark.functions.similarity import probe_cells, probe_cells_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    qdf = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {}
+    for r in probe_cells_batch(qdf, cells, 3).collect():
+        got.setdefault(r["q_id"], []).append(r["cell"])
+    want = {
+        r["q_id"]: probe_cells([float(x) for x in r["q_vec"]], cells, 3)
+        for r in qdf.collect()
+    }
+    assert got == want
+
+
+def test_ivf_topk_batch_equals_per_query_serving(spark, tmp_path):
+    from darc_spark.functions.similarity import (
+        ivf_topk_batch_from_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cells)
+    idx = spark.read.parquet(path)
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = {}
+    for r in ivf_topk_batch_from_index(
+        idx, qdf, cells, k=5, n_probe=2
+    ).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], r["cosine"]))
+    for qr in qdf.collect():
+        q = [float(x) for x in qr["q_vec"]]
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in ivf_topk_from_index(
+                idx, q, cells, k=5, n_probe=2, exclude_id=qr["q_id"]
+            ).collect()
+        ]
+        assert batch[qr["q_id"]] == single, qr["q_id"]
+
+
+def test_cosine_topk_batch_equals_per_query(spark):
+    from darc_spark.functions.similarity import cosine_topk, cosine_topk_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = {}
+    for r in cosine_topk_batch(emb, qdf, k=7).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], r["cosine"]))
+    for qr in qdf.collect():
+        q = [float(x) for x in qr["q_vec"]]
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk(
+                emb, q, k=7, exclude_id=qr["q_id"]
+            ).collect()
+        ]
+        assert batch[qr["q_id"]] == single, qr["q_id"]
+
+
+def test_recall_at_k_counts_and_missing_queries(spark):
+    from darc_spark.functions.similarity import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "q_id long, vec_id long",
+    )
+    # q1: both hit; q2: one hit; q3: ANN returned nothing relevant
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 99), (3, 98), (3, 97)],
+        "q_id long, vec_id long",
+    )
+    got = {
+        r["q_id"]: (r["hits"], r["recall_e6"])
+        for r in recall_at_k(exact, approx, 2).collect()
+    }
+    assert got == {1: (2, 1000000), 2: (1, 500000), 3: (0, 0)}
+
+
+def test_ivf_batch_pool_is_partition_pruned(spark, tmp_path):
+    """The batched probe must read only the union of probed cells —
+    the partition filter shows up in the scan, same contract as the
+    single-query path asserted in test_plans.py."""
+    from darc_spark.functions.similarity import (
+        ivf_topk_batch_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cells)
+    idx = spark.read.parquet(path)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk_batch_from_index(idx, qdf, cells, k=5, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
