@@ -1284,13 +1284,14 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mjpeg_payloads() -> list[tuple[str, bytes]]:
-    """Deterministic MJPEG corpus — REAL streams in both wire shapes:
-    concatenated JPEG with multipart-style boundaries AND AVI/MJPG RIFF
-    containers (every third payload), varying frame counts, one torn
-    payload for the never-throw path — shared by the Spark query and
-    the driver-side oracle enumeration."""
+    """Deterministic video corpus — REAL streams in three wire shapes:
+    concatenated JPEG with multipart-style boundaries, AVI/MJPG RIFF
+    containers, and animated GIF89a (container == codec), varying frame
+    counts, one torn payload for the never-throw path — shared by the
+    Spark query and the driver-side oracle enumeration."""
     import numpy as np
 
+    from darc_spark.functions.gif import encode_gif_frames
     from darc_spark.functions.images import smooth_pixels
     from darc_spark.functions.jpeg import encode_jpeg
     from darc_spark.functions.video import encode_avi_mjpg
@@ -1298,6 +1299,17 @@ def _mjpeg_payloads() -> list[tuple[str, bytes]]:
     out = []
     for i in range(16):
         n_frames = 4 + i % 5
+        if i % 3 == 1 and i != 13:  # animated GIF path
+            rng = np.random.default_rng(900 + i)
+            pal = rng.integers(0, 256, size=(32, 3), dtype=np.uint8)
+            payload = encode_gif_frames(
+                [
+                    pal[rng.integers(0, 32, size=(24, 24))]
+                    for _ in range(n_frames)
+                ]
+            )
+            out.append((f"vid{i}", payload))
+            continue
         frames = [
             encode_jpeg(
                 smooth_pixels(np.random.default_rng(500 + i * 31 + f), 24),

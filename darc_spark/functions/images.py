@@ -167,7 +167,18 @@ def smooth_pixels(rng: np.random.Generator, side: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-_DECODERS = {"png": decode_png, "qpng": decode_lossy, "jpeg": decode_jpeg}
+def _decode_gif(data: bytes) -> np.ndarray:
+    from darc_spark.functions.gif import decode_gif as _dg
+
+    return _dg(data)
+
+
+_DECODERS = {
+    "png": decode_png,
+    "qpng": decode_lossy,
+    "jpeg": decode_jpeg,
+    "gif": _decode_gif,
+}
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -12,10 +12,11 @@ is real and tested; codec backends resolve at runtime:
   pure-Python baseline codec (:mod:`darc_spark.functions.jpeg`, with
   an optional ctypes-compiled scan decoder) — real decode either way
 * audio     → real RIFF/WAVE PCM parse (:mod:`darc_spark.functions.wav`)
-* video     → real MJPEG frame split + JPEG decode
-  (:mod:`darc_spark.functions.video`); container formats needing a
-  media library (mp4/h264…) are out of scope in this dependency-free
-  build and would slot in behind the same operators.
+* video     → real MJPEG frame split + JPEG decode and animated GIF89a
+  (:mod:`darc_spark.functions.video`, :mod:`darc_spark.functions.gif`);
+  container formats needing a media library (mp4/h264…) are out of
+  scope in this dependency-free build and would slot in behind the
+  same operators.
 """
 
 from __future__ import annotations

@@ -234,12 +234,21 @@ def sample_frame_indices(n_available: int, n_frames: int) -> list[int]:
 
 
 def frame_pixels(payload: bytes, n_frames: int) -> list[tuple[int, np.ndarray]]:
-    """Decode the sampled frames of an MJPEG payload:
-    [(frame_index, HxWx3 uint8), ...]. Pure (shared by the distributed
-    operator and driver-side oracle enumeration). Raises ValueError on
-    malformed payloads — callers map that to a never-throw error row."""
+    """Decode the sampled frames of a video payload:
+    [(frame_index, HxWx3 uint8), ...]. Containers: animated GIF
+    (container == codec, composited frames), AVI/MJPG RIFF, raw or
+    multipart MJPEG. Pure (shared by the distributed operator and
+    driver-side oracle enumeration). Raises ValueError on malformed
+    payloads — callers map that to a never-throw error row."""
     from darc_spark.functions.images import decode_jpeg
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from darc_spark.functions.gif import gif_frames
+
+        gfs = gif_frames(payload)
+        return [
+            (i, gfs[i]) for i in sample_frame_indices(len(gfs), n_frames)
+        ]
     frames = split_frames(payload)
     return [
         (i, decode_jpeg(frames[i]))

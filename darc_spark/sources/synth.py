@@ -41,17 +41,26 @@ def image_payload(ih: int, side: int) -> tuple[np.ndarray, str, bytes]:
     pure function behind page payloads, the image_table corpus, and the
     PSNR oracle (original pixels re-derivable from ih alone).
 
-    Three codec classes, round-robin by hash: deterministic-lossy qpng
-    and lossless PNG over noise content, plus REAL baseline JPEG (the
+    Four codec classes, round-robin by hash: deterministic-lossy qpng
+    and lossless PNG over noise content, REAL baseline JPEG (the
     pure-Python codec, darc_spark/functions/jpeg.py) over smooth
     low-frequency content — the class real photographs belong to, where
     the PSNR≥40dB invariant is meaningful (JPEG on pure noise cannot
-    exceed ~36dB at any sane quality, by design of the codec).
+    exceed ~36dB at any sane quality, by design of the codec) — and
+    REAL GIF89a (darc_spark/functions/gif.py) over palette-native
+    content, where GIF is lossless (exact roundtrip).
     """
     from darc_spark.functions.jpeg import encode_jpeg
 
     rng = np.random.default_rng(ih)
-    sel = (ih >> 8) % 3
+    sel = (ih >> 8) % 4
+    if sel == 3:
+        from darc_spark.functions.gif import encode_gif
+
+        # palette-native: indices into a 64-color deterministic palette
+        pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+        arr = pal[rng.integers(0, 64, size=(side, side))]
+        return arr, "gif", encode_gif(arr)
     if sel == 2:
         arr = smooth_pixels(rng, side)
         # q97: the PSNR≥40dB invariant must hold for EVERY row, and the

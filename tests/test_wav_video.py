@@ -264,3 +264,36 @@ def test_sample_frame_indices_properties():
         assert idx[0] == 0 and idx == sorted(set(idx))
         assert all(0 <= i < n for i in idx)
         assert len(idx) == min(3, n)
+
+
+def test_frame_pixels_animated_gif():
+    """Animated GIF as a video container: frame_pixels samples the
+    composited frames pixel-exactly (GIF is lossless)."""
+    import numpy as np
+
+    from darc_spark.functions.gif import encode_gif_frames
+    from darc_spark.functions.video import frame_pixels
+
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 16, size=(20, 20))] for _ in range(7)]
+    got = frame_pixels(encode_gif_frames(frames), 3)
+    assert [i for i, _ in got] == [0, 2, 4]
+    for i, px in got:
+        assert np.array_equal(px, frames[i])
+
+
+def test_frame_pixels_torn_gif_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from darc_spark.functions.gif import encode_gif_frames
+    from darc_spark.functions.video import frame_pixels
+
+    rng = np.random.default_rng(43)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    data = encode_gif_frames(
+        [pal[rng.integers(0, 8, size=(12, 12))] for _ in range(3)]
+    )
+    with _pytest.raises(ValueError):
+        frame_pixels(data[: len(data) // 3], 3)
