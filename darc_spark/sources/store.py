@@ -51,13 +51,29 @@ class SnapshotStore:
     ) -> None:
         self.spark = spark
         self.root = os.path.abspath(root)
-        self.schemas = dict(schemas or table_schemas.TABLES)
+        self._base_schemas = dict(schemas or table_schemas.TABLES)
+        self.schemas = dict(self._base_schemas)
         os.makedirs(os.path.join(self.root, "_manifests"), exist_ok=True)
         self.version, self._tables = self._load_latest()
+        # evolved-schema map (table → StructType JSON doc), carried in
+        # FULL on every manifest (like round_ts) so resume and
+        # expire_snapshots never lose it
+        self._evolved: dict[str, Any] = {}
+        if self.version:
+            try:
+                self._evolved = dict(
+                    self._manifest_doc(self.version).get("schemas", {})
+                )
+            except KeyError:  # pragma: no cover - latest always retained
+                pass
+            for t, sj in self._evolved.items():
+                self.schemas[t] = T.StructType.fromJson(sj)
         self.meta: dict[str, Any] = {}
         # staged (uncommitted) changes: table -> list of segment relpaths
         self._staged_appends: dict[str, list[str]] = {}
         self._staged_replace: dict[str, list[str]] = {}
+        # staged schema evolutions: table -> schema BEFORE evolve()
+        self._staged_prior_schemas: dict[str, T.StructType] = {}
         # deferred (not yet materialized) appends: rel -> lazy DataFrame
         self._pending_writes: dict[str, DataFrame] = {}
         self._seg_counter = 0
@@ -123,34 +139,55 @@ class SnapshotStore:
         (committed + staged) — a cache key for derived artifacts
         (e.g. a broadcast of the filter payloads) that must be rebuilt
         exactly when the table changes."""
+        schema = self.schemas.get(table)
         return (
             tuple(self._tables.get(table, ())),
             tuple(self._staged_appends.get(table, ())),
             tuple(self._staged_replace.get(table, ())),
+            None if schema is None else tuple(f.name for f in schema.fields),
         )
+
+    def schema_at(self, table: str, version: int) -> T.StructType | None:
+        """The schema of ``table`` as of snapshot ``version`` — the
+        version's recorded evolution if any, else the base registry
+        (Iceberg: each snapshot references its schema-id)."""
+        sj = self._manifest_doc(version).get("schemas", {}).get(table)
+        if sj is not None:
+            return T.StructType.fromJson(sj)
+        return self._base_schemas.get(table)
 
     def read_at(self, table: str, version: int) -> DataFrame:
         """Time-travel read: ``table`` exactly as of snapshot ``version``
-        (Iceberg ``VERSION AS OF``). Works for any retained snapshot —
-        segments are immutable and stay on disk until the snapshot is
-        expired (:meth:`expire_snapshots`) and swept (:meth:`gc`)."""
+        (Iceberg ``VERSION AS OF``) — including its THEN-current schema:
+        columns added later do not appear. Works for any retained
+        snapshot — segments are immutable and stay on disk until the
+        snapshot is expired (:meth:`expire_snapshots`) and swept
+        (:meth:`gc`)."""
         segs = self.tables_at(version).get(table, [])
-        return self._read_segments(table, segs)
+        return self._read_segments(
+            table, segs, schema=self.schema_at(table, version)
+        )
 
     def read(self, table: str) -> DataFrame:
         """Snapshot read: union of the committed segments of ``table``."""
         return self._read_segments(table, self.segments(table))
 
-    def _read_segments(self, table: str, segs: list[str]) -> DataFrame:
+    def _read_segments(
+        self,
+        table: str,
+        segs: list[str],
+        schema: T.StructType | None = None,
+    ) -> DataFrame:
+        schema = schema if schema is not None else self.schemas.get(table)
         if not segs:
-            schema = self.schemas.get(table)
             if schema is None:
                 raise KeyError(f"unknown empty table {table!r} (no schema declared)")
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, s) for s in segs]
         reader = self.spark.read
-        schema = self.schemas.get(table)
         if schema is not None:
+            # explicit schema: columns an old segment predates read as
+            # null — the add-column evolution contract
             reader = reader.schema(schema)
         return reader.parquet(*paths)
 
@@ -203,6 +240,39 @@ class SnapshotStore:
         for rel, _ in todo:
             del self._pending_writes[rel]
 
+    def evolve(self, table: str, new_schema: T.StructType) -> None:
+        """Stage an add-column schema evolution (Iceberg ``ALTER TABLE
+        ADD COLUMN``): every existing column must keep its name and
+        type, new columns must be nullable (old segments read them as
+        null — no data rewrite). Takes effect immediately for this
+        round's reads/writes and is published by the next
+        :meth:`commit`; :meth:`rollback` reverts it."""
+        cur = self.schemas.get(table)
+        if cur is None:
+            raise KeyError(f"unknown table {table!r}")
+        new_fields = {f.name: f for f in new_schema.fields}
+        for f in cur.fields:
+            nf = new_fields.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"evolution cannot drop column {table}.{f.name}"
+                )
+            if nf.dataType != f.dataType:
+                raise ValueError(
+                    f"evolution cannot change type of {table}.{f.name}: "
+                    f"{f.dataType.simpleString()} → "
+                    f"{nf.dataType.simpleString()}"
+                )
+        existing = {f.name for f in cur.fields}
+        for f in new_schema.fields:
+            if f.name not in existing and not f.nullable:
+                raise ValueError(
+                    f"new column {table}.{f.name} must be nullable "
+                    "(old segments have no values for it)"
+                )
+        self._staged_prior_schemas.setdefault(table, cur)
+        self.schemas[table] = new_schema
+
     def replace(self, table: str, df: DataFrame, drop_staged: bool = False) -> None:
         """Stage a compaction: ``df`` becomes the table's only segment.
 
@@ -229,8 +299,12 @@ class SnapshotStore:
         for table, segs in self._staged_appends.items():
             new_tables.setdefault(table, [])
             new_tables[table].extend(segs)
+        for table in self._staged_prior_schemas:
+            self._evolved[table] = self.schemas[table].jsonValue()
         new_version = self.version + 1
         doc = {"version": new_version, "tables": new_tables, "meta": meta or {}}
+        if self._evolved:
+            doc["schemas"] = self._evolved
         final = os.path.join(self._manifest_dir(), f"v{new_version:06d}.json")
         tmp = final + ".tmp"
         with open(tmp, "w") as f:
@@ -241,6 +315,7 @@ class SnapshotStore:
         self.version, self._tables = new_version, new_tables
         self._staged_appends.clear()
         self._staged_replace.clear()
+        self._staged_prior_schemas.clear()
         return new_version
 
     def rollback_to(self, version: int) -> int:
@@ -262,10 +337,18 @@ class SnapshotStore:
                 meta[k] = old_meta[k]
         self.rollback()
         self._tables = {t: list(s) for t, s in tables.items()}
+        # pin the target snapshot's schemas too (an evolution after
+        # ``version`` is part of what is being rolled back)
+        self._evolved = dict(
+            self._manifest_doc(version).get("schemas", {})
+        )
+        self.schemas = dict(self._base_schemas)
+        for t, sj in self._evolved.items():
+            self.schemas[t] = T.StructType.fromJson(sj)
         return self.commit(meta)
 
     def rollback(self) -> None:
-        """Discard staged (uncommitted) segments."""
+        """Discard staged (uncommitted) segments and schema changes."""
         self._pending_writes.clear()
         for segs in list(self._staged_appends.values()) + list(
             self._staged_replace.values()
@@ -274,6 +357,9 @@ class SnapshotStore:
                 shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
         self._staged_appends.clear()
         self._staged_replace.clear()
+        for table, prior in self._staged_prior_schemas.items():
+            self.schemas[table] = prior
+        self._staged_prior_schemas.clear()
 
     def read_all(self, table: str) -> DataFrame:
         """Snapshot read PLUS this round's staged (uncommitted) segments.

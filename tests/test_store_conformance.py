@@ -215,3 +215,101 @@ def test_rollback_to_carries_crawl_cursor_meta(spark, store):
     meta = store.latest_meta()
     assert meta["op"] == "rollback" and meta["to"] == v_good
     assert meta["round"] == 4 and meta["ts"] == 400.0
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (Iceberg ALTER TABLE ADD COLUMN)
+
+EVOLVED = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+def test_evolve_add_column_old_segments_read_null(spark, store):
+    store.append("t", _df(spark, [("a", 1), ("b", 2)]))
+    v1 = store.commit()
+    store.evolve("t", EVOLVED)
+    store.append(
+        "t", spark.createDataFrame([("c", 3, 0.5)], EVOLVED)
+    )
+    v2 = store.commit()
+    got = sorted(
+        (r.k, r.v, r.score) for r in store.read("t").collect()
+    )
+    assert got == [("a", 1, None), ("b", 2, None), ("c", 3, 0.5)]
+    # time travel at v1 shows the THEN-current schema (no new column)
+    assert store.read_at("t", v1).columns == ["k", "v"]
+    assert store.read_at("t", v2).columns == ["k", "v", "score"]
+
+
+def test_evolve_rejects_drop_type_change_and_non_nullable(spark, store):
+    store.append("t", _df(spark, [("a", 1)]))
+    store.commit()
+    with pytest.raises(ValueError, match="drop"):
+        store.evolve(
+            "t", T.StructType([T.StructField("k", T.StringType())])
+        )
+    with pytest.raises(ValueError, match="type"):
+        store.evolve(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("v", T.StringType()),
+                ]
+            ),
+        )
+    with pytest.raises(ValueError, match="nullable"):
+        store.evolve(
+            "t",
+            T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("v", T.LongType()),
+                    T.StructField("extra", T.LongType(), False),
+                ]
+            ),
+        )
+
+
+def test_evolve_survives_resume_and_expiry(spark, store, tmp_path):
+    store.append("t", _df(spark, [("a", 1)]))
+    store.commit()
+    store.evolve("t", EVOLVED)
+    store.commit()
+    store.append(
+        "t", spark.createDataFrame([("d", 4, 1.5)], EVOLVED)
+    )
+    store.commit()
+    store.expire_snapshots(keep_last=1)
+    store.gc()
+    # a NEW store instance on the same root sees the evolved schema
+    fresh = SnapshotStore(
+        spark, store.root, schemas={"t": SCHEMA}
+    )
+    assert fresh.read("t").columns == ["k", "v", "score"]
+    got = sorted((r.k, r.v, r.score) for r in fresh.read("t").collect())
+    assert got == [("a", 1, None), ("d", 4, 1.5)]
+
+
+def test_evolve_rollback_restores_prior_schema(spark, store):
+    store.append("t", _df(spark, [("a", 1)]))
+    v1 = store.commit()
+    # staged (uncommitted) evolution: rollback() reverts it
+    store.evolve("t", EVOLVED)
+    assert store.read("t").columns == ["k", "v", "score"]
+    store.rollback()
+    assert store.read("t").columns == ["k", "v"]
+    # committed evolution: rollback_to(v1) pins v1's schema again
+    store.evolve("t", EVOLVED)
+    store.commit()
+    store.rollback_to(v1)
+    assert store.read("t").columns == ["k", "v"]
+    assert _rows(store.read("t")) == [("a", 1)]
+    # and a resume after the rollback also sees the pinned-back schema
+    fresh = SnapshotStore(spark, store.root, schemas={"t": SCHEMA})
+    assert fresh.read("t").columns == ["k", "v"]
