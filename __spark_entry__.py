@@ -928,6 +928,40 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality evaluation: measured recall@10 of ADC over the
+    materialized byte-code table (m=8, ksub=256) against the EXACT
+    squared-L2 top-10 (the metric ADC approximates), per query, over a
+    16-query batch. Batched serving: one LUT per query broadcast as a
+    small DataFrame, one scan of the code table, subspace-ordered
+    lookup sums — the quantization-loss number (not index pruning: the
+    code scan is complete) a deployment trades against the 32× memory
+    shrink, and tunes m/ksub with."""
+    from darc_spark.functions.similarity import (
+        l2_topk_batch,
+        pq_adc_topk_batch_from_codes,
+        pq_codebooks,
+        recall_at_k,
+        write_pq_codes,
+    )
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    books = pq_codebooks(8, 256, 64)
+    codes = _ann_index(
+        spark, sf_dir, "pq8x256", lambda p: write_pq_codes(emb, p, books)
+    )
+    exact = l2_topk_batch(emb, queries_df, k=10)
+    approx = pq_adc_topk_batch_from_codes(codes, queries_df, books, k=10)
+    return recall_at_k(exact, approx, 10).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("hits"),
+        F.col("recall_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1411,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "ann_recall": q_ann_recall,
+        "ann_recall_pq": q_ann_recall_pq,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -2023,6 +2058,92 @@ WITH cells AS (
     SELECT q_id, vec_id,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
     FROM approx_scored) WHERE rn <= {k}
+), hits AS (
+  SELECT e.q_id, count(*) AS hits
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT CAST(q.q_id AS BIGINT) AS q_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(floor(coalesce(h.hits, 0) * 1000000.0 / {k} + 0.5) AS BIGINT) AS recall_e6
+FROM (SELECT DISTINCT q_id FROM qs) q LEFT JOIN hits h ON h.q_id = q.q_id
+"""
+
+
+def _ann_recall_pq_duck(
+    m: int, ksub: int, dims: int, n_q: int, k: int
+) -> str:
+    """Full SQL for the PQ/ADC recall@k evaluation: exact per-query
+    squared-L2 top-k (the metric ADC approximates), the same
+    literal-codebook per-subspace encode as ``_pq_duck``, a per-QUERY
+    LUT (qs × books), subspace-ordered ADC accumulation, and integer
+    hit counts. Same float64 op order and (score, vec_id) / (dist,
+    cell) tie-breaks as the engine's ``l2_topk_batch`` /
+    ``pq_adc_topk_batch_from_codes``."""
+    from darc_spark.functions.similarity import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dims)
+    dsub = dims // m
+    rows = []
+    for j, book in enumerate(books):
+        for c_idx, c in enumerate(book):
+            n2 = sum(x * x for x in c)
+            lit = ", ".join(repr(v) for v in c)
+            rows.append(f"({j}, {c_idx}, [{lit}]::DOUBLE[], {n2!r})")
+    values = ",\n  ".join(rows)
+    enc_dist = (
+        f"n2 - 2.0 * list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> CAST(embedding[sub * {dsub} + i] AS DOUBLE) * cv[i]), "
+        f"(a, b) -> a + b)"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> (CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i]) * "
+        f"(CAST(qv[sub * {dsub} + i] AS DOUBLE) - cv[i])), (a, b) -> a + b)"
+    )
+    l2 = (
+        "list_reduce(list_transform(range(1, {d}+1), "
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE)) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    ).format(d=dims)
+    return f"""
+WITH books AS (
+  SELECT * FROM (VALUES
+  {values}
+  ) AS t(sub, cell, cv, n2)
+), qs AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {n_q}
+), exact_scored AS (
+  SELECT q.q_id, e.vec_id, {l2} AS l2
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id != q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rn
+    FROM exact_scored) WHERE rn <= {k}
+), enc AS (
+  SELECT vec_id, sub, cell,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY ({enc_dist}), cell
+         ) AS rn
+  FROM embeddings CROSS JOIN books
+), codes AS (
+  SELECT vec_id, sub, cell FROM enc WHERE rn = 1
+), lut AS (
+  SELECT q.q_id, b.sub, b.cell, ({q_dist}) AS qd
+  FROM qs q CROSS JOIN books b
+), adc AS (
+  SELECT l.q_id, c.vec_id,
+         list_reduce(list(qd ORDER BY sub), (a, b) -> a + b) AS adc
+  FROM codes c JOIN lut l USING (sub, cell)
+  GROUP BY 1, 2
+), approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+    FROM adc WHERE vec_id != q_id) WHERE rn <= {k}
 ), hits AS (
   SELECT e.q_id, count(*) AS hits
   FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -2663,6 +2784,7 @@ FROM scored WHERE vec_id != 0
 ORDER BY adc, vec_id LIMIT 5
 """,
         "ann_recall": _ann_recall_duck(8, 2, 64, 16, 10),
+        "ann_recall_pq": _ann_recall_pq_duck(8, 256, 64, 16, 10),
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole
         # guarantees the banded candidates lose no pair, and this asserts it

@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_ivfpq",
     "ann_ivfpq_residual",
     "ann_recall",
+    "ann_recall_pq",
     "image_features",
     "frame_sample",
     "audio_features",

@@ -379,9 +379,14 @@ def ivf_topk_from_index(
 
 
 def _topk_per_query(
-    scored: DataFrame, k: int, q_id_col: str, id_col: str
+    scored: DataFrame,
+    k: int,
+    q_id_col: str,
+    id_col: str,
+    score_col: str = "cosine",
+    ascending: bool = False,
 ) -> DataFrame:
-    """Top-k rows per query by (cosine DESC, id ASC) — two-stage.
+    """Top-k rows per query by (score, id ASC) — two-stage.
 
     Stage 1 prunes to the k best rows per (query, input partition):
     the shuffle key space is Q × P, so a small query batch against a
@@ -392,18 +397,17 @@ def _topk_per_query(
     """
     from pyspark.sql import Window
 
-    local = Window.partitionBy(
-        q_id_col, F.col("_pid")
-    ).orderBy(F.col("cosine").desc(), F.col(id_col))
+    sc = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    local = Window.partitionBy(q_id_col, F.col("_pid")).orderBy(
+        sc, F.col(id_col)
+    )
     pruned = (
         scored.withColumn("_pid", F.spark_partition_id())
         .withColumn("_lrn", F.row_number().over(local))
         .filter(F.col("_lrn") <= k)
         .drop("_pid", "_lrn")
     )
-    final = Window.partitionBy(q_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
+    final = Window.partitionBy(q_id_col).orderBy(sc, F.col(id_col))
     return (
         pruned.withColumn("_rn", F.row_number().over(final))
         .filter(F.col("_rn") <= k)
@@ -511,6 +515,85 @@ def ivf_topk_batch_from_index(
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(q_id_col))
     return _topk_per_query(scored, k, q_id_col, id_col)
+
+
+def l2_topk_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact multi-query squared-L2 top-k — the ground truth the PQ/ADC
+    family is measured against (ADC approximates squared L2, not
+    cosine). Same O(Q·N) broadcast-scan + two-stage-rank shape as
+    :func:`cosine_topk_batch`; float64 left-to-right accumulation
+    matches DuckDB's ``list_reduce``. Returns (q_id, id, l2) rows."""
+    j = df.crossJoin(F.broadcast(queries_df))
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(q_vec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(F.col(q_id_col), F.col(id_col), diff2.alias("l2"))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    return _topk_per_query(
+        scored, k, q_id_col, id_col, score_col="l2", ascending=True
+    )
+
+
+def pq_adc_topk_batch_from_codes(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched ADC serving over a PRECOMPUTED code table: one LUT per
+    query (built driver-side from a bounded collect of the query batch
+    — Q×m×ksub doubles), shipped as a small broadcast DataFrame; the
+    code table is scanned ONCE and every (code row × query) pair costs
+    m array lookups + adds, in subspace order (same float64 chain as
+    the single-query literal-LUT path, so the oracle value-matches).
+    Returns (q_id, id, adc_dist) rows, ≤ k per query."""
+    spark = codes_df.sparkSession
+    qrows = queries_df.select(q_id_col, q_vec_col).collect()
+    lut_rows = [
+        (r[q_id_col], adc_lut([float(x) for x in r[q_vec_col]], books))
+        for r in qrows
+    ]
+    luts = spark.createDataFrame(
+        lut_rows, f"{q_id_col} long, _lut array<array<double>>"
+    )
+    j = codes_df.crossJoin(F.broadcast(luts))
+    dist: Column | None = None
+    for sub in range(len(books)):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), sub + 1),
+            F.col("codes").getItem(sub) + 1,
+        )
+        dist = term if dist is None else dist + term
+    assert dist is not None
+    scored = j.select(
+        F.col(q_id_col), F.col(id_col), dist.alias("adc_dist")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    return _topk_per_query(
+        scored, k, q_id_col, id_col, score_col="adc_dist", ascending=True
+    )
 
 
 def recall_at_k(

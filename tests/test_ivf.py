@@ -435,3 +435,54 @@ def test_ivf_batch_pool_is_partition_pruned(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_pq_adc_batch_equals_per_query(spark, tmp_path):
+    from darc_spark.functions.similarity import (
+        pq_adc_topk_batch_from_codes,
+        pq_adc_topk_from_codes,
+        pq_codebooks,
+        write_pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = pq_codebooks(4, 16, 64)
+    path = str(tmp_path / "codes")
+    write_pq_codes(emb, path, books)
+    codes = spark.read.parquet(path)
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = {}
+    for r in pq_adc_topk_batch_from_codes(codes, qdf, books, k=5).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_dist"]))
+    for qr in qdf.collect():
+        q = [float(x) for x in qr["q_vec"]]
+        single = [
+            (r["vec_id"], r["adc_dist"])
+            for r in pq_adc_topk_from_codes(
+                codes, q, books, k=5, exclude_id=qr["q_id"]
+            ).collect()
+        ]
+        assert batch[qr["q_id"]] == single, qr["q_id"]
+
+
+def test_l2_topk_batch_matches_numpy(spark):
+    from darc_spark.functions.similarity import l2_topk_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {}
+    for r in l2_topk_batch(emb, qdf, k=6).collect():
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    for qid in range(4):
+        q = X[qid]
+        want = sorted(
+            (vid for vid in X if vid != qid),
+            key=lambda vid: (((X[vid] - q) ** 2).sum(), vid),
+        )[:6]
+        assert got[qid] == want, qid
