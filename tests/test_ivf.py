@@ -486,3 +486,36 @@ def test_l2_topk_batch_matches_numpy(spark):
             key=lambda vid: (((X[vid] - q) ** 2).sum(), vid),
         )[:6]
         assert got[qid] == want, qid
+
+
+def test_trained_codebooks_beat_seeded_on_recall(spark, tmp_path):
+    """The ML-quality claim for the PQ trainer: Lloyd-trained codebooks
+    reconstruct the corpus better than the seeded random ones, so
+    ADC recall@10 against the exact-L2 ground truth must improve."""
+    from darc_spark.functions.similarity import (
+        l2_topk_batch,
+        pq_adc_topk_batch_from_codes,
+        pq_build,
+        pq_codebooks,
+        recall_at_k,
+        write_pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = l2_topk_batch(emb, qdf, k=10)
+
+    def mean_recall(books, tag):
+        path = str(tmp_path / tag)
+        write_pq_codes(emb, path, books)
+        codes = spark.read.parquet(path)
+        approx = pq_adc_topk_batch_from_codes(codes, qdf, books, k=10)
+        rows = recall_at_k(exact, approx, 10).collect()
+        return sum(r["hits"] for r in rows) / (10.0 * len(rows))
+
+    seeded = mean_recall(pq_codebooks(8, 16, 64), "seeded")
+    trained = mean_recall(pq_build(emb, m=8, ksub=16, iters=2), "trained")
+    assert trained > seeded, (trained, seeded)
+    assert trained >= 0.3, trained  # sanity floor, not the point
