@@ -7,9 +7,11 @@ screenshot PNG ``darc/crawl.py:333-341``, data-URI decode
 
 PIL is not in this container, so:
 
-* ``encode_png``/``decode_png`` — a real, spec-conformant RGB8 PNG codec
-  on stdlib ``zlib``+``struct`` (filter 0; decoder handles filters 0-4).
-  Lossless: decode(encode(x)) == x exactly.
+* ``encode_png``/``decode_png`` — a real, spec-conformant PNG codec on
+  stdlib ``zlib``+``struct``. The encoder writes RGB8/filter 0; the
+  decoder handles the real-web surface: filters 0-4, color types
+  0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), bit depths
+  1/2/4/8/16, Adam7 interlace. Lossless: decode(encode(x)) == x.
 * ``encode_lossy``/``decode_lossy`` — deterministic quantizing codec
   (PNG container, fmt tag ``qpng``): step-4 quantization ⇒ PSNR ≈ 47 dB,
   exercising the ≥40 dB invariant without a JPEG library.
@@ -55,8 +57,18 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def _unfilter(data: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
-    stride = w * bpp
+def _unfilter(
+    data: bytes, w: int, h: int, bpp: int = 3, stride: int | None = None
+) -> np.ndarray:
+    """Reverse PNG row filters 0-4 over ``h`` rows of ``stride`` bytes
+    (default ``w*bpp``); ``bpp`` is the filter's left-neighbor offset
+    in BYTES (max(1, channels·depth/8) per the spec). Returns the
+    (h, stride) byte matrix reshaped to (h, w, bpp) when stride is
+    the natural w·bpp, else left as (h, stride) for sub-byte depths."""
+    natural = stride is None
+    stride = w * bpp if stride is None else stride
+    if len(data) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.int32)
@@ -94,29 +106,145 @@ def _unfilter(data: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, bpp)
+    return out.reshape(h, w, bpp) if natural else out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_samples(
+    raw: bytes, w: int, h: int, depth: int, channels: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image → (h, w, channels) uint8
+    samples (16-bit scaled to 8 via the high byte, sub-byte depths
+    left-aligned per spec). Returns (samples, bytes consumed)."""
+    bpp = max(1, channels * depth // 8)
+    stride = (w * channels * depth + 7) // 8
+    consumed = h * (stride + 1)
+    rows = _unfilter(raw, w, h, bpp, stride=stride)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels), consumed
+    if depth == 16:
+        # most-significant byte ≡ the spec's sample/257 rounding ±1
+        return (
+            rows.reshape(h, stride)[:, : w * channels * 2]
+            .reshape(h, w, channels, 2)[..., 0]
+        ), consumed
+    # 1/2/4-bit: unpack bits per row, regroup into depth-sized samples
+    bits = np.unpackbits(rows, axis=1)
+    n = w * channels
+    samples = np.zeros((h, n), dtype=np.uint8)
+    for b in range(depth):
+        samples = (samples << 1) | bits[:, b::depth][:, :n]
+    return samples.reshape(h, w, channels), consumed
+
+
+def _png_to_rgb(
+    samples: np.ndarray, color_type: int, depth: int, palette: np.ndarray | None
+) -> np.ndarray:
+    if color_type == 2:
+        return samples
+    if color_type == 6:
+        return samples[..., :3]  # drop alpha (PIL convert("RGB") semantics)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = samples[..., 0]
+        if int(idx.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
+    # grayscale (0) / gray+alpha (4): scale sub-byte depths to 0..255
+    g = samples[..., 0]
+    if depth < 8:
+        g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return np.repeat(g[..., None], 3, axis=2)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → RGB8 array. Raises ValueError on malformed input."""
+    """PNG bytes → RGB8 array — the real-web decode surface: color
+    types 0/2/3/4/6, bit depths 1/2/4/8/16, Adam7 interlace. Alpha is
+    dropped (PIL ``convert("RGB")`` semantics); 16-bit scales via the
+    high byte. Raises ValueError on malformed input."""
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, zlib.error, OverflowError) as exc:
+        raise ValueError(f"malformed PNG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w, h = 8, 0, 0
+    depth, color_type, interlace = 8, 2, 0
+    palette: np.ndarray | None = None
     idat = b""
-    while pos < len(data):
+    seen_ihdr = False
+    while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("PNG chunk truncated")
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
-            if bit_depth != 8 or color_type != 2:
-                raise ValueError("only RGB8 supported")
+            w, h, depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", payload)
+            )
+            seen_ihdr = True
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {color_type}")
+            ok_depths = (
+                (1, 2, 4, 8) if color_type == 3
+                else (1, 2, 4, 8, 16) if color_type == 0
+                else (8, 16)
+            )
+            if depth not in ok_depths:
+                raise ValueError(
+                    f"bad PNG bit depth {depth} for color type {color_type}"
+                )
+            if w == 0 or h == 0:
+                raise ValueError("zero-size PNG")
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    return _unfilter(zlib.decompress(idat), w, h)
+    if not seen_ihdr or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(idat)
+    channels = _PNG_CHANNELS[color_type]
+    if interlace == 0:
+        samples, _ = _png_samples(raw, w, h, depth, channels)
+        return _png_to_rgb(samples, color_type, depth, palette)
+    if interlace != 1:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, consumed = _png_samples(raw[off:], pw, ph, depth, channels)
+        off += consumed
+        out[y0::dy, x0::dx] = sub
+    return _png_to_rgb(out, color_type, depth, palette)
 
 
 LOSSY_STEP = 4  # ⇒ PSNR ≈ 10·log10(255²·12/step²) ≈ 46.9 dB
