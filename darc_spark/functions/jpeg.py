@@ -179,7 +179,9 @@ _LUT_CACHE: dict[tuple, "_Lut"] = {}
 _PACK_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
+def _build_lut(
+    bits: list[int], vals: list[int], ac: bool, progressive: bool = False
+) -> "_Lut":
     """Flat decode table over the next 16 bits of the stream.
 
     Canonical Huffman (spec C.2) means every code is the prefix of a
@@ -194,11 +196,16 @@ def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
     * ``code_len << 8 | symbol`` — plain; the value bits (if any) need
       their own read. Used for EOB/ZRL and for long code+size combos.
 
+    ``progressive=True`` additionally admits the EOBn symbols
+    (run>0, size 0) that only exist in progressive AC tables — packed
+    as PLAIN entries, since their extra bits count is the run length,
+    not a magnitude size. Baseline tables keep rejecting them.
+
     Returned as a plain Python list — list indexing with Python ints is
     several times faster than numpy scalar indexing in the per-symbol
     loop — and cached: a corpus reuses the same DHT tables across
     files, so the 2^16-entry build cost amortizes inside a batch."""
-    key = (tuple(bits), tuple(vals), ac)
+    key = (tuple(bits), tuple(vals), ac, progressive)
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -209,7 +216,10 @@ def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
             sym = vals[k]
             size = (sym & 0x0F) if ac else sym
             if (not ac and sym > 15) or (
-                ac and size == 0 and sym not in (0x00, 0xF0)
+                ac
+                and size == 0
+                and sym not in (0x00, 0xF0)
+                and not (progressive and sym & 0x0F == 0)
             ):
                 # spec-invalid symbols (DC size category >15, or an AC
                 # run/size with size 0 that isn't EOB/ZRL — F.1.2):
@@ -220,7 +230,7 @@ def _build_lut(bits: list[int], vals: list[int], ac: bool) -> "_Lut":
                 code += 1
                 k += 1
                 continue
-            special = ac and sym in (0x00, 0xF0)
+            special = ac and (sym in (0x00, 0xF0) or size == 0)
             if size and not special and length + size <= 16:
                 entry = 0x8000 | ((length + size) << 8) | sym
             else:
@@ -350,20 +360,13 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 # Encoder
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 92,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """RGB8 HxWx3 → baseline JFIF JPEG bytes.
-
-    ``subsample=True`` emits 4:2:0 chroma (the common web shape);
-    default 4:4:4 maximizes fidelity for the PSNR≥40dB invariant.
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (resync points, like real encoders targeting error
-    resilience). Deterministic: same inputs → identical bytes.
-    """
+def _prepare_blocks(
+    arr: np.ndarray, quality: int, subsample: bool
+) -> tuple[list, list, np.ndarray, np.ndarray, int, int]:
+    """Shared encoder front-end (baseline and progressive): color
+    convert, optional 4:2:0 chroma subsample, pad, batched DCT,
+    quantize, zigzag. Returns (comp_blocks[ci][by][bx] → 64 zigzag
+    coefs, samp, qt_l, qt_c, mcus_x, mcus_y)."""
     assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
     h, w = arr.shape[:2]
     rgb = arr.astype(np.float64)
@@ -404,6 +407,27 @@ def encode_jpeg(
         coef = _C @ blocks @ _C.T  # batched DCT: BLAS matmul beats einsum
         q = np.round(coef / qt.reshape(8, 8)).astype(np.int64)
         comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, ZIGZAG])
+    return comp_blocks, samp, qt_l, qt_c, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 92,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB8 HxWx3 → baseline JFIF JPEG bytes.
+
+    ``subsample=True`` emits 4:2:0 chroma (the common web shape);
+    default 4:4:4 maximizes fidelity for the PSNR≥40dB invariant.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (resync points, like real encoders targeting error
+    resilience). Deterministic: same inputs → identical bytes.
+    """
+    comp_blocks, samp, qt_l, qt_c, mcus_x, mcus_y = _prepare_blocks(
+        arr, quality, subsample
+    )
+    h, w = arr.shape[:2]
 
     enc_dc = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
         _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -520,13 +544,15 @@ def _encode_block(bw, zz, pred, dc_tab, ac_tab) -> int:
 # Decoder
 
 def decode_jpeg_py(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes → RGB8 HxWx3 (grayscale → replicated).
+    """JFIF JPEG bytes → RGB8 HxWx3 (grayscale → replicated).
 
-    Tables come from the file's own DQT/DHT segments; rejects
-    progressive/arithmetic/12-bit streams with ValueError. Any malformed
-    stream — truncated header, missing DHT/DQT slot, garbage entropy
-    data — raises ValueError too (never a raw IndexError/KeyError/
-    struct.error out of a Spark decode batch).
+    Baseline (SOF0/1) decoded here; progressive (SOF2) dispatches to
+    :mod:`darc_spark.functions.jpeg_progressive`. Tables come from the
+    file's own DQT/DHT segments; lossless/arithmetic/12-bit streams are
+    rejected with ValueError. Any malformed stream — truncated header,
+    missing DHT/DQT slot, garbage entropy data — raises ValueError too
+    (never a raw IndexError/KeyError/struct.error out of a Spark decode
+    batch).
     """
     try:
         return _decode_jpeg_inner(data)
@@ -590,8 +616,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xC2:  # SOF2 — progressive DCT
+            from darc_spark.functions import jpeg_progressive
+
+            return jpeg_progressive.decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -721,6 +751,16 @@ def _decode_scan(data, pos, frame, scan_tabs, qts, huff, restart_interval):
         flat[np.asarray(idxs, dtype=np.int64)] = np.asarray(
             vals, dtype=np.int64
         )
+    return _reconstruct(flat, frame, qts, shapes, offsets)
+
+
+def _reconstruct(flat, frame, qts, shapes, offsets) -> np.ndarray:
+    """Shared reconstruction tail (baseline and progressive): dequantize
+    + unzigzag + batched IDCT + chroma upsample + color convert."""
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         qt = qts[c["tq"]]

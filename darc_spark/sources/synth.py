@@ -41,19 +41,31 @@ def image_payload(ih: int, side: int) -> tuple[np.ndarray, str, bytes]:
     pure function behind page payloads, the image_table corpus, and the
     PSNR oracle (original pixels re-derivable from ih alone).
 
-    Four codec classes, round-robin by hash: deterministic-lossy qpng
+    Five codec classes, round-robin by hash: deterministic-lossy qpng
     and lossless PNG over noise content, REAL baseline JPEG (the
     pure-Python codec, darc_spark/functions/jpeg.py) over smooth
     low-frequency content — the class real photographs belong to, where
     the PSNR≥40dB invariant is meaningful (JPEG on pure noise cannot
-    exceed ~36dB at any sane quality, by design of the codec) — and
-    REAL GIF89a (darc_spark/functions/gif.py) over palette-native
-    content, where GIF is lossless (exact roundtrip).
+    exceed ~36dB at any sane quality, by design of the codec) — REAL
+    progressive JPEG (SOF2, darc_spark/functions/jpeg_progressive.py:
+    spectral selection + successive approximation, the shape most large
+    web sites serve) over the same smooth class, and REAL GIF89a
+    (darc_spark/functions/gif.py) over palette-native content, where
+    GIF is lossless (exact roundtrip).
     """
     from darc_spark.functions.jpeg import encode_jpeg
 
     rng = np.random.default_rng(ih)
-    sel = (ih >> 8) % 4
+    sel = (ih >> 8) % 5
+    if sel == 4:
+        from darc_spark.functions.jpeg_progressive import (
+            encode_jpeg_progressive,
+        )
+
+        arr = smooth_pixels(rng, side)
+        # same q97 rationale as the baseline class; identical quantized
+        # coefficients ⇒ identical PSNR floor
+        return arr, "jpeg", encode_jpeg_progressive(arr, quality=97)
     if sel == 3:
         from darc_spark.functions.gif import encode_gif
 

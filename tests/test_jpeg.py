@@ -4,7 +4,8 @@ The real lossy path of the image payload pipeline (VERDICT r3 item 5 —
 `decode_jpeg` must stop being a stub). Checks: roundtrip fidelity on
 photograph-like content, 4:2:0 + restart-interval decode paths, odd
 geometry, determinism, malformed-stream rejection, and the corpus
-contract (a quarter of payloads are real JPEGs meeting the PSNR≥40dB
+contract (two fifths of payloads are real JPEGs — baseline and
+progressive — meeting the PSNR≥40dB
 invariant). Differential vs PIL when available (not in this container).
 """
 
@@ -100,23 +101,28 @@ def test_decode_image_dispatch_uses_real_decoder():
 
 
 def test_corpus_contains_real_jpegs_meeting_invariant():
-    """image_payload: a quarter of payloads are baseline JPEG; every
-    one decodes to ≥40dB vs its pre-encode pixels, and the bytes are
-    real JFIF streams (SOI + JFIF APP0). The GIF quarter is real GIF89a
-    and roundtrips exactly (lossless for palette-native content)."""
+    """image_payload: two fifths of payloads are real JFIF JPEG — one
+    class baseline SOF0, one PROGRESSIVE SOF2 — every one decoding to
+    ≥40dB vs its pre-encode pixels; the GIF fifth is real GIF89a and
+    roundtrips exactly (lossless for palette-native content)."""
     from darc_spark.functions.gif import decode_gif
 
     fmts = {"png": 0, "qpng": 0, "jpeg": 0, "gif": 0}
+    sofs = {0xC0: 0, 0xC2: 0}
     for ih in range(0, 6000, 100):
         arr, fmt, data = image_payload(ih * 7919 + 13, 32)
         fmts[fmt] += 1
         if fmt == "jpeg":
             assert data[:2] == b"\xff\xd8" and data[6:10] == b"JFIF"
+            for marker in (0xC0, 0xC2):
+                if bytes([0xFF, marker]) in data:
+                    sofs[marker] += 1
             assert psnr(arr, decode_jpeg_py(data)) >= 40.0
         elif fmt == "gif":
             assert data[:6] == b"GIF89a"
             assert np.array_equal(decode_gif(data), arr)
     assert all(v > 0 for v in fmts.values()), fmts
+    assert sofs[0xC0] > 0 and sofs[0xC2] > 0, sofs  # both JPEG shapes
 
 
 def test_differential_vs_pil_if_available():
