@@ -962,6 +962,47 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN quality: measured recall@10 of residual IVF-PQ —
+    probe pruning (n_probe=2/8) ON TOP of 4-bit quantization (m=8,
+    ksub=16) — against the exact squared-L2 top-10, per query, over a
+    16-query batch. This is the number a 10^10-row deployment actually
+    ships with: both loss sources composed, evaluated over the SAME
+    materialized cell-partitioned index the ``ann_ivfpq_residual``
+    query serves from; batched per-(query,cell) residual LUTs ride a
+    broadcast join on the partition column."""
+    from darc_spark.functions.similarity import (
+        ivf_cells,
+        ivfpq_topk_batch_from_index,
+        l2_topk_batch,
+        pq_codebooks,
+        recall_at_k,
+        write_ivfpq_index,
+    )
+
+    (emb,) = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cells = ivf_cells(8, 64)
+    books = pq_codebooks(8, 16, 64)
+    idx = _ann_index(
+        spark,
+        sf_dir,
+        "ivfpqres8x16",
+        lambda p: write_ivfpq_index(emb, p, cells, books, residual=True),
+    )
+    exact = l2_topk_batch(emb, queries_df, k=10)
+    approx = ivfpq_topk_batch_from_index(
+        idx, queries_df, cells, books, k=10, n_probe=2, residual=True
+    )
+    return recall_at_k(exact, approx, 10).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("hits"),
+        F.col("recall_e6"),
+    )
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1446,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "ann_recall": q_ann_recall,
         "ann_recall_pq": q_ann_recall_pq,
+        "ann_recall_ivfpq": q_ann_recall_ivfpq,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -2058,6 +2100,133 @@ WITH cells AS (
     SELECT q_id, vec_id,
            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
     FROM approx_scored) WHERE rn <= {k}
+), hits AS (
+  SELECT e.q_id, count(*) AS hits
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+  GROUP BY 1
+)
+SELECT CAST(q.q_id AS BIGINT) AS q_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(floor(coalesce(h.hits, 0) * 1000000.0 / {k} + 0.5) AS BIGINT) AS recall_e6
+FROM (SELECT DISTINCT q_id FROM qs) q LEFT JOIN hits h ON h.q_id = q.q_id
+"""
+
+
+def _ann_recall_ivfpq_duck(
+    n_cells: int, n_probe: int, m: int, ksub: int, dims: int,
+    n_q: int, k: int,
+) -> str:
+    """Full SQL for the residual IVF-PQ recall@k evaluation: exact
+    per-query squared-L2 top-k, the ``_ivf_duck`` assignment
+    generalized to a query batch, residual encode over the probed-cell
+    union, one LUT per (query, probed cell) built from q − centroid,
+    subspace-ordered ADC accumulation, integer hit counts. Same
+    float64 op orders and tie-breaks as the engine's batched path."""
+    from darc_spark.functions.similarity import ivf_cells, pq_codebooks
+
+    cells = ivf_cells(n_cells, dims)
+    crows = []
+    for i, c in enumerate(cells):
+        n2 = sum(x * x for x in c)
+        lit = ", ".join(repr(v) for v in c)
+        crows.append(f"({i}, [{lit}]::DOUBLE[], {n2!r})")
+    cvalues = ",\n  ".join(crows)
+    books = pq_codebooks(m, ksub, dims)
+    dsub = dims // m
+    brows = []
+    for j, book in enumerate(books):
+        for c_idx, c in enumerate(book):
+            bn2 = sum(x * x for x in c)
+            lit = ", ".join(repr(v) for v in c)
+            brows.append(f"({j}, {c_idx}, [{lit}]::DOUBLE[], {bn2!r})")
+    bvalues = ",\n  ".join(brows)
+    dist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(embedding[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    qdist = (
+        "n2 - 2.0 * list_reduce(list_transform(range(1, {d}+1), "
+        "j -> CAST(qv[j] AS DOUBLE) * c[j]), (a, b) -> a + b)"
+    ).format(d=dims)
+    l2 = (
+        "list_reduce(list_transform(range(1, {d}+1), "
+        "j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE)) * "
+        "(CAST(e.embedding[j] AS DOUBLE) - CAST(q.qv[j] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    ).format(d=dims)
+    enc_dist = (
+        f"bn2 - 2.0 * list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> r[sub * {dsub} + i] * cv[i]), (a, b) -> a + b)"
+    )
+    q_res_i = (
+        f"(CAST(qv[sub * {dsub} + i] AS DOUBLE) - cl.c[sub * {dsub} + i])"
+    )
+    q_dist = (
+        f"list_reduce(list_transform(range(1, {dsub}+1), "
+        f"i -> ({q_res_i} - cv[i]) * ({q_res_i} - cv[i])), "
+        f"(a, b) -> a + b)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT * FROM (VALUES
+  {cvalues}
+  ) AS t(cell, c, n2)
+), qs AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {n_q}
+), exact_scored AS (
+  SELECT q.q_id, e.vec_id, {l2} AS l2
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id != q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY l2, vec_id) AS rn
+    FROM exact_scored) WHERE rn <= {k}
+), assign AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ({dist}), cell) AS rn
+  FROM embeddings CROSS JOIN cells
+), probe AS (
+  SELECT q_id, cell FROM (
+    SELECT q.q_id, cells.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY ({qdist}), cells.cell) AS rn
+    FROM qs q CROSS JOIN cells) WHERE rn <= {n_probe}
+), pool AS (
+  SELECT vec_id, embedding, cell FROM assign
+  WHERE rn = 1 AND cell IN (SELECT DISTINCT cell FROM probe)
+), res AS (
+  SELECT p.vec_id, p.cell,
+         list_transform(range(1, {dims}+1),
+             i -> CAST(p.embedding[i] AS DOUBLE) - cl.c[i]) AS r
+  FROM pool p JOIN cells cl ON cl.cell = p.cell
+), books AS (
+  SELECT * FROM (VALUES
+  {bvalues}
+  ) AS t(sub, code, cv, bn2)
+), enc AS (
+  SELECT vec_id, cell, sub, code,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY ({enc_dist}), code
+         ) AS brn
+  FROM res CROSS JOIN books
+), codes AS (
+  SELECT vec_id, cell, sub, code FROM enc WHERE brn = 1
+), lut AS (
+  SELECT pr.q_id, pr.cell, b.sub, b.code, ({q_dist}) AS qd
+  FROM probe pr
+  JOIN qs q ON q.q_id = pr.q_id
+  JOIN cells cl ON cl.cell = pr.cell
+  CROSS JOIN books b
+), adc AS (
+  SELECT l.q_id, c.vec_id,
+         list_reduce(list(qd ORDER BY l.sub), (a, b) -> a + b) AS adc
+  FROM codes c JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+  GROUP BY 1, 2
+), approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+    FROM adc WHERE vec_id != q_id) WHERE rn <= {k}
 ), hits AS (
   SELECT e.q_id, count(*) AS hits
   FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -2785,6 +2954,7 @@ ORDER BY adc, vec_id LIMIT 5
 """,
         "ann_recall": _ann_recall_duck(8, 2, 64, 16, 10),
         "ann_recall_pq": _ann_recall_pq_duck(8, 256, 64, 16, 10),
+        "ann_recall_ivfpq": _ann_recall_ivfpq_duck(8, 2, 8, 16, 64, 16, 10),
         # exact all-pairs oracle: STRONGER than mirroring the engine's
         # multi-band join — with 4 bands and max_hamming 3 < 4, pigeonhole
         # guarantees the banded candidates lose no pair, and this asserts it

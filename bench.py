@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_ivfpq_residual",
     "ann_recall",
     "ann_recall_pq",
+    "ann_recall_ivfpq",
     "image_features",
     "frame_sample",
     "audio_features",

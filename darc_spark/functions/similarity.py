@@ -596,6 +596,65 @@ def pq_adc_topk_batch_from_codes(
     )
 
 
+def ivfpq_topk_batch_from_index(
+    index_df: DataFrame,
+    queries_df: DataFrame,
+    cells: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched IVF-PQ serving over a materialized ``(id, codes, cell)``
+    index: the query batch probes its cells, the index is read ONCE
+    filtered to the probed union (partition pruning), and one ADC LUT
+    per (query, probed cell) — built driver-side from the bounded
+    Q×n_probe probe set, residual LUTs from q − centroid — rides a
+    broadcast join keyed on the partition column. Distance is the same
+    subspace-ordered lookup-sum chain as the single-query path.
+    Returns (q_id, id, adc_dist) rows, ≤ k per query."""
+    spark = index_df.sparkSession
+    probes = probe_cells_batch(
+        queries_df, cells, n_probe, q_id_col, q_vec_col
+    )
+    prows = probes.collect()  # bounded metadata: Q × n_probe rows
+    probed = sorted({r["cell"] for r in prows})
+    pool = index_df.filter(F.col("cell").isin(probed))
+    lut_rows = []
+    for r in prows:
+        qv = [float(x) for x in r[q_vec_col]]
+        qr = (
+            [a - float(b) for a, b in zip(qv, cells[r["cell"]])]
+            if residual
+            else qv
+        )
+        lut_rows.append((r[q_id_col], r["cell"], adc_lut(qr, books)))
+    luts = spark.createDataFrame(
+        lut_rows, f"{q_id_col} long, cell int, _lut array<array<double>>"
+    )
+    j = pool.join(F.broadcast(luts), "cell")
+    dist: Column | None = None
+    for sub in range(len(books)):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), sub + 1),
+            F.col("codes").getItem(sub) + 1,
+        )
+        dist = term if dist is None else dist + term
+    assert dist is not None
+    scored = j.select(
+        F.col(q_id_col), F.col(id_col), dist.alias("adc_dist")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    return _topk_per_query(
+        scored, k, q_id_col, id_col, score_col="adc_dist", ascending=True
+    )
+
+
 def recall_at_k(
     exact: DataFrame,
     approx: DataFrame,

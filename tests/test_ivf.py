@@ -519,3 +519,80 @@ def test_trained_codebooks_beat_seeded_on_recall(spark, tmp_path):
     trained = mean_recall(pq_build(emb, m=8, ksub=16, iters=2), "trained")
     assert trained > seeded, (trained, seeded)
     assert trained >= 0.3, trained  # sanity floor, not the point
+
+
+def test_ivfpq_batch_equals_per_query(spark, tmp_path):
+    from darc_spark.functions.similarity import (
+        ivfpq_topk_batch_from_index,
+        ivfpq_topk_from_index,
+        pq_codebooks,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells = ivf_cells(8, 64)
+    books = pq_codebooks(8, 16, 64)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(emb, path, cells, books, residual=True)
+    idx = spark.read.parquet(path)
+    qdf = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = {}
+    for r in ivfpq_topk_batch_from_index(
+        idx, qdf, cells, books, k=5, n_probe=2, residual=True
+    ).collect():
+        batch.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_dist"]))
+    for qr in qdf.collect():
+        q = [float(x) for x in qr["q_vec"]]
+        single = [
+            (r["vec_id"], r["adc_dist"])
+            for r in ivfpq_topk_from_index(
+                idx, q, cells, books, k=5, n_probe=2, residual=True,
+                exclude_id=qr["q_id"],
+            ).collect()
+        ]
+        assert batch[qr["q_id"]] == single, qr["q_id"]
+
+
+def test_trained_ivfpq_recall_dwarfs_seeded(spark, tmp_path):
+    """The recall eval as a tuning instrument: seeded (deterministic
+    placeholder) residual IVF-PQ is near-useless on isotropic vectors
+    — residuals against random-plane 'centroids' are LARGER than the
+    raw vectors — while Lloyd-trained coarse cells + codebooks trained
+    on true residuals lift recall@10 by an order of magnitude
+    (measured 0.025 → ~0.29 at m=8/ksub=16/n_probe=2 on sf0.01)."""
+    from darc_spark.functions.similarity import (
+        ivf_residuals,
+        ivfpq_topk_batch_from_index,
+        l2_topk_batch,
+        pq_build,
+        pq_codebooks,
+        recall_at_k,
+        write_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = l2_topk_batch(emb, qdf, k=10)
+
+    def mean_recall(cells, books, tag):
+        path = str(tmp_path / tag)
+        write_ivfpq_index(emb, path, cells, books, residual=True)
+        idx = spark.read.parquet(path)
+        approx = ivfpq_topk_batch_from_index(
+            idx, qdf, cells, books, k=10, n_probe=2, residual=True
+        )
+        rows = recall_at_k(exact, approx, 10).collect()
+        return sum(r["hits"] for r in rows) / (10.0 * len(rows))
+
+    seeded = mean_recall(
+        ivf_cells(8, 64), pq_codebooks(8, 16, 64), "seeded"
+    )
+    tc = ivf_build(emb, k=8, iters=2)
+    res = ivf_residuals(ivf_assign(emb, tc), tc)
+    tb = pq_build(res, m=8, ksub=16, iters=2)
+    trained = mean_recall(tc, tb, "trained")
+    assert trained >= 3 * max(seeded, 0.02), (trained, seeded)
