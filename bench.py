@@ -287,6 +287,27 @@ def jpeg_decode_bench() -> dict:
                 if force_py:
                     jn._lib, jn._tried = saved
             out[f"jpeg_decode_{label}_{side}px_img_s"] = round(reps / dt, 1)
+    # progressive JPEG + GIF + PNG decode rates at the corpus tile size
+    from darc_spark.functions.gif import decode_gif, encode_gif
+    from darc_spark.functions.images import decode_png, encode_png
+    from darc_spark.functions.jpeg_progressive import encode_jpeg_progressive
+
+    tile = np.stack([img[:32, :32]] * 3, axis=-1)
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    gtile = pal[rng.integers(0, 64, size=(32, 32))]
+    for name, data, dec, reps in (
+        ("jpeg_prog", encode_jpeg_progressive(tile, quality=92),
+         decode_jpeg_py, 100),
+        ("gif", encode_gif(gtile), decode_gif, 200),
+        ("png", encode_png(tile), decode_png, 200),
+    ):
+        dec(data)  # warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dec(data)
+        dt = time.perf_counter() - t0
+        out[f"{name}_decode_32px_img_s"] = round(reps / dt, 1)
     return out
 
 
