@@ -1000,11 +1000,24 @@ class Crawler:
         self._round_ts[r] = self._round_now
         # one resolved escalation threshold per round (both stages)
         self._round_escalate = self._escalation_threshold()
+        # per-stage wall timings ride in the metrics (and thus the
+        # manifest meta): the per-round fixed cost C in t = W/p + C is
+        # what caps N→4N scaling efficiency, and attributing it to a
+        # stage needs no profiler run — it's in every committed round
+        import time as _time
+
+        _t0 = _time.perf_counter()
         metrics = self._requests_stage(r)
+        metrics["sec_requests"] = round(_time.perf_counter() - _t0, 3)
         if self.cfg.selenium_enabled:
+            _t0 = _time.perf_counter()
             metrics.update(self._selenium_stage(r))
+            metrics["sec_selenium"] = round(_time.perf_counter() - _t0, 3)
         if self.submit_sink is not None:
+            _t0 = _time.perf_counter()
             metrics.update(self._submit_stage(r))
+            metrics["sec_submit"] = round(_time.perf_counter() - _t0, 3)
+        _t_tail = _time.perf_counter()
         # metrics ride in the manifest meta (no extra write job); the
         # metrics() accessor rebuilds the table from manifests on demand
         if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:
@@ -1057,7 +1070,15 @@ class Crawler:
             metrics["host_pending_mean"] = float(st["m"] or 0.0)
             metrics["host_pending_max"] = float(st["x"] or 0.0)
             metrics["escalate_threshold"] = float(self._round_escalate)
+        # compaction + escalation stats; the commit (which materializes
+        # any deferred appends) is timed into the NEXT round's manifest
+        # via self._last_commit_sec because metrics must be inside it
+        metrics["sec_round_tail"] = round(_time.perf_counter() - _t_tail, 3)
+        if hasattr(self, "_last_commit_sec"):
+            metrics["sec_prev_commit"] = self._last_commit_sec
+        _t0 = _time.perf_counter()
         self._commit({"round": r, "metrics": metrics, "ts": self._round_now})
+        self._last_commit_sec = round(_time.perf_counter() - _t0, 3)
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests
         # a graceful stop AFTER this committed round — metrics are kept.
