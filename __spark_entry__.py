@@ -1003,6 +1003,24 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-image alignment filter (CLIP-score-style pair cleaning):
+    captions (documents.text) join their image embeddings
+    (embeddings.embedding) by id, the caption's text-tower embedding is
+    a deterministic in-line hash projection, and pairs below the cosine
+    threshold are dropped — the LAION-style keep gate over an
+    image+caption corpus. Per-row expression + one key join + pushed
+    predicate: the whole 10^10-pair corpus cleans in one pass."""
+    from darc_spark.functions.align import align_filter
+
+    docs, emb = _load(spark, sf_dir, "documents", "embeddings")
+    kept = align_filter(docs, emb, dims=64, threshold=0.05)
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("align"),
+    ).orderBy("doc_id")
+
+
 def q_data_uri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: data-URI decode, pure SQL (save_data, darc/proxy/data.py:33-56)."""
     from darc_spark.functions.extract import decode_data_uris
@@ -1488,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_recall_pq": q_ann_recall_pq,
         "ann_recall_ivfpq": q_ann_recall_ivfpq,
+        "caption_align": q_caption_align,
         "data_uri_decode": q_data_uri_decode,
         "cosine_near_pairs": q_cosine_near_pairs,
         "phash_hamming": q_phash_hamming,
@@ -2866,6 +2885,29 @@ FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_e6
 FROM scored ORDER BY cosine DESC, vec_id LIMIT 5
+""",
+        # CLIP-score pair filter: same hash projection (md5-prefix h64),
+        # same float64 cosine chain, same threshold
+        "caption_align": """
+WITH pairs AS (
+  SELECT d.doc_id,
+         list_transform(range(0, 64), j ->
+           (CAST(('0x' || substr(md5(d.text || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 2001 - 1000) / 1000.0) AS cap,
+         e.embedding AS img
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), scored AS (
+  SELECT doc_id,
+    list_reduce(list_transform(range(1, 65),
+        j -> CAST(cap[j] AS DOUBLE) * CAST(img[j] AS DOUBLE)), (a, b) -> a + b)
+    / (sqrt(list_reduce(list_transform(range(1, 65),
+        j -> CAST(cap[j] AS DOUBLE) * CAST(cap[j] AS DOUBLE)), (a, b) -> a + b))
+       * sqrt(list_reduce(list_transform(range(1, 65),
+        j -> CAST(img[j] AS DOUBLE) * CAST(img[j] AS DOUBLE)), (a, b) -> a + b))) AS align
+  FROM pairs
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, align FROM scored
+WHERE align >= 0.05 ORDER BY doc_id
 """,
         # hand-derived expected rows per data-URI form (independent of the
         # engine's regexp/unbase64 path)

@@ -54,6 +54,7 @@ HEADLINE = [
     "frame_sample",
     "audio_features",
     "corpus_clean",
+    "caption_align",
     "image_phash_dedup",
     "token_count",
     "fingerprint",
