@@ -724,7 +724,15 @@ class Crawler:
         )
 
     def _requests_stage(self, r: int) -> dict[str, float]:
+        # sub-stage wall attribution (rides the metrics/manifest like
+        # the run_round stage timings): claim window, robots/new-host
+        # gate, the fetch materialization (the scalable W), and the
+        # post-fetch route+flush tail — the non-fetch buckets are the
+        # per-round fixed cost candidates
+        import time as _time
+
         cfg = self.cfg
+        _t0 = _time.perf_counter()
         claimed = self.fr_req.claim(
             r,
             per_host=cfg.per_host,
@@ -736,8 +744,10 @@ class Crawler:
         )
         keep, n_claimed = self._claim_filters(claimed, self.fr_req, r)
         m = {"claimed_requests": float(n_claimed)}
+        m["sec_req_claim"] = round(_time.perf_counter() - _t0, 3)
         if n_claimed == 0:
             return m
+        _t0 = _time.perf_counter()
         kept_acc: list[DataFrame] = []
         special_acc: list[DataFrame] = []
         fresh_docs = self._new_host_gate(keep, r, kept_acc, special_acc)
@@ -758,10 +768,14 @@ class Crawler:
             )
         else:
             allowed = keep
+        m["sec_req_gate"] = round(_time.perf_counter() - _t0, 3)
 
+        _t0 = _time.perf_counter()
         raw = self.store.write_scratch(
             "fetch_raw_requests", run_fetch(allowed, self.web.pages_batch)
         )
+        m["sec_req_fetch"] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
         st = self._raw_stats(raw, cfg)
         m["fetched_requests"] = float(st["n"])
 
@@ -867,6 +881,7 @@ class Crawler:
             n_giveup=st["n_giveup_req"],
         )
         m["ok_requests"] = float(st["n_ok"])
+        m["sec_req_route"] = round(_time.perf_counter() - _t0, 3)
         return m
 
     def _selenium_stage(self, r: int) -> dict[str, float]:
