@@ -87,8 +87,10 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "nosrc"
+    # v3: index tables are written fanned-out (multiple files) so the
+    # serving scan parallelizes — invalidate any v2 single-file layout
     key = hashlib.md5(
-        f"ann-v2|{os.path.abspath(sf_dir)}|{fp}|{kind}".encode()
+        f"ann-v3|{os.path.abspath(sf_dir)}|{fp}|{kind}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), "darc_ann_index", f"{kind}_{key}"

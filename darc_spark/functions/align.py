@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from darc_spark.functions.similarity import dot, norm
+from darc_spark.functions.partitioning import fanout
+from darc_spark.functions.similarity import udot, unorm
 from darc_spark.functions.text import h64
 
 
@@ -56,11 +57,14 @@ def caption_embedding(text: Column | str, dims: int) -> Column:
     )
 
 
-def align_score(cap_vec: Column, img_vec: Column) -> Column:
+def align_score(cap_vec: Column, img_vec: Column, dims: int = 64) -> Column:
     """Cosine between the caption and image embeddings — the same
     float64 left-to-right ``dot/(norm*norm)`` chain as the similarity
-    module, so engine and oracle agree to the last ulp."""
-    return dot(cap_vec, img_vec) / (norm(cap_vec) * norm(img_vec))
+    module (unrolled per-dimension form, bit-identical to the HOF
+    fold), so engine and oracle agree to the last ulp."""
+    return udot(cap_vec, img_vec, dims) / (
+        unorm(cap_vec, dims) * unorm(img_vec, dims)
+    )
 
 
 def align_pairs(
@@ -77,7 +81,10 @@ def align_pairs(
     at 10^10 pairs both sides shuffle-hash on the id (or co-locate if
     the tables are bucketed the same way); the caption embedding is
     derived in-line, never materialized."""
-    cap = captions.select(
+    # fanout before the per-dimension hash projection: dims md5 digests
+    # per caption is the dominant cost of this query, and a single-split
+    # documents scan would compute all of them on one core (§2.5)
+    cap = fanout(captions).select(
         F.col(id_col),
         F.col(text_col),
         caption_embedding(text_col, dims).alias("_cap_vec"),
@@ -87,7 +94,9 @@ def align_pairs(
     )
     return (
         cap.join(img, id_col)
-        .withColumn("align", align_score(F.col("_cap_vec"), F.col("_img_vec")))
+        .withColumn(
+            "align", align_score(F.col("_cap_vec"), F.col("_img_vec"), dims)
+        )
         .drop("_cap_vec", "_img_vec")
     )
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from darc_spark.functions.partitioning import fanout
 from darc_spark.functions.text import h64, tokens
 
 SHINGLE_K = 3
@@ -63,9 +64,11 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bands: int = 4
 ) -> DataFrame:
     """(id, band, min over shingles of h64(band||'#'||shingle)) rows."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    # fanout before shingling: bands×shingles md5 hashing is the heavy
+    # per-row work, and a single-split scan would run it on one core
+    sh = fanout(df).select(
+        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    ).filter(F.size("sh") > 0)
     exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
     # ONE shuffle: all band-minima in a single hash aggregate (map-side
     # partial min), then stack wide→long without another shuffle
@@ -115,7 +118,9 @@ def simhash(
     shiftleft+bitwiseOR (not a sum of python-int literals) so bit 63 is
     exact on the signed long.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = fanout(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     hashed = toks.withColumn("th", h64(F.col("tok")))
     sums = hashed.groupBy(id_col).agg(
         *[
@@ -166,7 +171,8 @@ def ngram_jaccard_pairs(
     non-boilerplate content — the semantic the dedup literature uses.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+        fanout(df)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
         .distinct()
     )
     if max_shingle_df is not None:

@@ -20,9 +20,12 @@ literal planes*.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from darc_spark.functions.partitioning import fanout
 
 
 def plane(i: int, dims: int) -> list[float]:
@@ -45,6 +48,42 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def udot(a: Column, b: Column, dims: int) -> Column:
+    """Unrolled fixed-width dot — bit-identical to :func:`dot`.
+
+    Higher-order functions (``aggregate``/``zip_with``) are evaluated
+    interpreted, element-boxed, outside whole-stage codegen (guide §4:
+    prefer built-ins that codegen). When the width is statically known —
+    every embedding column in this engine is fixed-``dims`` — the same
+    float64 chain unrolls to ``0.0 + a₁·b₁ + a₂·b₂ + …``: addition is
+    left-associative, each product casts its operands to double first,
+    so the IEEE operation sequence (and thus every bit of the result,
+    and every downstream e6 floor) is exactly the HOF fold's, but the
+    expression compiles into the codegen stage (~10× per row measured).
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(1, dims + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+            b, i
+        ).cast("double")
+    return acc
+
+
+def udot_lit(a: Column, p: list[float]) -> Column:
+    """Unrolled dot against a literal vector — bit-identical to
+    ``dot(a, F.array(*map(F.lit, p)))`` (same cast/fold order), with the
+    plane literals inlined per term for codegen."""
+    acc: Column = F.lit(0.0)
+    for i, v in enumerate(p, start=1):
+        acc = acc + F.element_at(a, i).cast("double") * F.lit(float(v))
+    return acc
+
+
+def unorm(a: Column, dims: int) -> Column:
+    """sqrt ∘ :func:`udot` — bit-identical to :func:`norm`."""
+    return F.sqrt(udot(a, a, dims))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -57,10 +96,17 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.select(
+    # query norm is a constant: computed driver-side with the same
+    # left-to-right float64 fold (and IEEE sqrt) the in-plan expression
+    # used — bit-identical literal, zero per-row work
+    qn = math.sqrt(_dot_py(query_vec, query_vec))
+    dims = len(query_vec)
+    scored = fanout(df).select(
         F.col(id_col),
-        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias("cosine"),
+        (
+            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (unorm(F.col(vec_col), dims) * F.lit(qn))
+        ).alias("cosine"),
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
@@ -77,9 +123,8 @@ def signature(vec_col: Column, planes: list[list[float]]) -> Column:
     sig: Column = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     for i, p in enumerate(planes):
-        pc = F.array(*[F.lit(float(v)) for v in p])
         bit = F.when(
-            dot(vec_col, pc) >= 0, F.shiftleft(one, i)
+            udot_lit(vec_col, p) >= 0, F.shiftleft(one, i)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
@@ -93,7 +138,9 @@ def lsh_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     planes = [plane(i, dims) for i in range(n_bits)]
-    return df.select(
+    # fanout before the n_bits×dims signature expression: a single-split
+    # scan would otherwise compute every plane dot on one core (§2.5)
+    return fanout(df).select(
         F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("sig")
     )
 
@@ -118,10 +165,13 @@ def ann_lsh_topk(
     if qsig >= 1 << 63:  # mirror the signed-long wrap of signature()
         qsig -= 1 << 64
     bucket = sigs.filter(F.col("sig") == qsig)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(_dot_py(query_vec, query_vec))
     scored = bucket.select(
         F.col(id_col),
-        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias("cosine"),
+        (
+            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (unorm(F.col(vec_col), len(query_vec)) * F.lit(qn))
+        ).alias("cosine"),
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
@@ -207,8 +257,8 @@ def cosine_near_pairs(
     vb = vecs.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b")
     )
-    cos = dot(F.col("_vec_a"), F.col("_vec_b")) / (
-        norm(F.col("_vec_a")) * norm(F.col("_vec_b"))
+    cos = udot(F.col("_vec_a"), F.col("_vec_b"), dims) / (
+        unorm(F.col("_vec_a"), dims) * unorm(F.col("_vec_b"), dims)
     )
     return (
         cand.join(va, "id_a")
@@ -243,17 +293,19 @@ def _codeword_dists(vec: Column, book: list[list[float]]) -> Column:
     so every existing DuckDB oracle still value-matches."""
     bl = F.lit([[float(v) for v in c] for c in book])
     nl = F.lit([float(sum(x * x for x in c)) for c in book])
-    return F.zip_with(
-        bl,
-        nl,
-        lambda c, n2: n2
-        - F.lit(2.0)
-        * F.aggregate(
-            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    dsub = len(book[0])
+
+    def per_code(c: Column, n2: Column) -> Column:
+        # unrolled inner dot (same cast/fold order as the HOF form —
+        # see :func:`udot`); the outer zip_with stays O(1) in plan size
+        acc: Column = F.lit(0.0)
+        for i in range(1, dsub + 1):
+            acc = acc + F.element_at(vec, i).cast("double") * F.element_at(
+                c, i
+            )
+        return n2 - F.lit(2.0) * acc
+
+    return F.zip_with(bl, nl, per_code)
 
 
 def _argmin_code(vec: Column, book: list[list[float]]) -> Column:
@@ -335,7 +387,7 @@ def write_ivf_index(
     (:func:`ivf_topk_from_index` + :func:`read_ann_index`), which
     partition pruning turns into a file-level skip of the other
     ``n_cells − n_probe`` directories."""
-    ivf_assign(df, cells, id_col, vec_col).write.partitionBy(
+    ivf_assign(fanout(df), cells, id_col, vec_col).write.partitionBy(
         "cell"
     ).mode("overwrite").parquet(path)
 
@@ -366,12 +418,13 @@ def ivf_topk_from_index(
     :func:`ivf_topk`."""
     probe = probe_cells(query_vec, cells, n_probe)
     pool = index_df.filter(F.col("cell").isin(probe))
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = math.sqrt(_dot_py(query_vec, query_vec))
     scored = pool.select(
         F.col(id_col),
-        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * norm(q))).alias(
-            "cosine"
-        ),
+        (
+            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (unorm(F.col(vec_col), len(query_vec)) * F.lit(qn))
+        ).alias("cosine"),
     )
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
@@ -424,24 +477,27 @@ def cosine_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     exclude_self: bool = True,
+    dims: int = 64,
 ) -> DataFrame:
     """Exact multi-query cosine top-k: broadcast the (small) query
     batch against the corpus and rank per query.
 
     Deliberately O(Q·N) — this is the ground-truth side of an ANN
     recall evaluation, run over a SAMPLED query batch, not a serving
-    path. Scoring is JVM-side ``zip_with``/``aggregate``; ranking is
-    the two-stage per-partition prune of :func:`_topk_per_query`, so
-    the only full-size intermediate is the score stream itself.
+    path. Scoring is the unrolled codegen dot (:func:`udot`, bit-equal
+    to the HOF fold), run after a :func:`fanout` of the corpus scan so
+    the Q·N score stream parallelizes; ranking is the two-stage
+    per-partition prune of :func:`_topk_per_query`, so the only
+    full-size intermediate is the score stream itself.
     Returns (q_id, id, cosine) rows, ≤ k per query.
     """
-    j = df.crossJoin(F.broadcast(queries_df))
+    j = fanout(df).crossJoin(F.broadcast(queries_df))
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
         (
-            dot(F.col(vec_col), F.col(q_vec_col))
-            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
+            udot(F.col(vec_col), F.col(q_vec_col), dims)
+            / (unorm(F.col(vec_col), dims) * unorm(F.col(q_vec_col), dims))
         ).alias("cosine"),
     )
     if exclude_self:
@@ -503,13 +559,14 @@ def ivf_topk_batch_from_index(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
     pool = index_df.filter(F.col("cell").isin(probed))
+    dims = len(cells[0])
     j = pool.join(F.broadcast(probes), "cell")
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
         (
-            dot(F.col(vec_col), F.col(q_vec_col))
-            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
+            udot(F.col(vec_col), F.col(q_vec_col), dims)
+            / (unorm(F.col(vec_col), dims) * unorm(F.col(q_vec_col), dims))
         ).alias("cosine"),
     )
     if exclude_self:
@@ -526,23 +583,20 @@ def l2_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     exclude_self: bool = True,
+    dims: int = 64,
 ) -> DataFrame:
     """Exact multi-query squared-L2 top-k — the ground truth the PQ/ADC
     family is measured against (ADC approximates squared L2, not
     cosine). Same O(Q·N) broadcast-scan + two-stage-rank shape as
-    :func:`cosine_topk_batch`; float64 left-to-right accumulation
-    matches DuckDB's ``list_reduce``. Returns (q_id, id, l2) rows."""
-    j = df.crossJoin(F.broadcast(queries_df))
-    diff2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col(q_vec_col),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    :func:`cosine_topk_batch`; the unrolled per-dimension chain keeps
+    float64 left-to-right accumulation matching DuckDB's
+    ``list_reduce`` bit-for-bit. Returns (q_id, id, l2) rows."""
+    j = fanout(df).crossJoin(F.broadcast(queries_df))
+    diff2: Column = F.lit(0.0)
+    for i in range(1, dims + 1):
+        xi = F.element_at(F.col(vec_col), i).cast("double")
+        yi = F.element_at(F.col(q_vec_col), i).cast("double")
+        diff2 = diff2 + (xi - yi) * (xi - yi)
     scored = j.select(F.col(q_id_col), F.col(id_col), diff2.alias("l2"))
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(q_id_col))
@@ -852,9 +906,12 @@ def write_pq_codes(
     (:func:`pq_adc_topk_from_codes`) scan ONLY this table with
     literal-lookup sums: no embedding column is ever read at query
     time, which is the whole point of scanning 10^10 compressed rows."""
-    pq_encode(df, books, id_col, vec_col).write.mode("overwrite").parquet(
-        path
-    )
+    # fanout: encode in parallel AND leave >1 output file so serving
+    # scans of the code table parallelize (single-split input otherwise
+    # writes one file → every later ADC scan runs on one core)
+    pq_encode(fanout(df), books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def pq_adc_topk_from_codes(
@@ -959,7 +1016,7 @@ def write_ivfpq_index(
     ~32× smaller than the corpus). ``residual=True`` encodes
     v − centroid[cell] (the canonical index; recall beats raw-vector
     codes because residuals share a tight distribution)."""
-    assigned = ivf_assign(df, cells, id_col, vec_col)
+    assigned = ivf_assign(fanout(df), cells, id_col, vec_col)
     enc_in = (
         ivf_residuals(assigned, cells, vec_col) if residual else assigned
     )
