@@ -261,6 +261,7 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
+            F.col("label").alias("_prev"),
         )
         # pointer jumping (path compression): follow label→label-of-label,
         # so convergence is O(log diameter) instead of O(diameter) —
@@ -269,6 +270,10 @@ def connected_components(
         hop = stepped.select(
             F.col("node").alias("_ln"), F.col("label").alias("_ll")
         )
+        # carry the pre-iteration label through the checkpoint so the
+        # convergence probe is a filter+count over the MATERIALIZED
+        # frame — the old shape re-joined old and new labels, adding a
+        # shuffle join job per iteration for the same answer
         new_labels = (
             stepped.join(hop, stepped.label == hop._ln, "left")
             .select(
@@ -276,16 +281,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("_ll", F.col("label"))
                 ).alias("label"),
+                F.col("_prev"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
         if changed == 0:
             break
     else:
