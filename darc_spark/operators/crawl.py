@@ -366,11 +366,10 @@ class Crawler:
         cutoff = self._time_cache_cutoff(r)
         if cutoff is not None:
             stale = stale | (F.col("_lf") < F.lit(cutoff))
-        new_hosts = self.store.write_scratch(
-            "new_hosts",
+        cand = (
             hosts.join(last_fetch, "hostname", "left")
             .filter(stale)
-            .select("hostname", "proxy"),
+            .select("hostname", "proxy")
         )
         # hostname_state: first_seen for new, last_fetch bump for all claimed
         self.store.append(
@@ -382,13 +381,16 @@ class Crawler:
                 F.lit(r).cast("long").alias("last_fetch_round"),
             ),
         )
-        # ONE agg drives both the early-exit and the i2p sub-branch
-        nh = new_hosts.agg(
+        # ONE agg drives the early-exit and the i2p sub-branch; the
+        # scratch materialization only happens when there ARE new hosts
+        # (steady-state rounds pay one probe job, not probe + write)
+        nh = cand.agg(
             F.count("*").alias("n"),
             F.sum((F.col("proxy") == "i2p").cast("int")).alias("n_i2p"),
         ).head()
         if int(nh["n"] or 0) == 0:
             return None
+        new_hosts = self.store.write_scratch("new_hosts", cand)
         web = self.web
 
         def fetch_robots(pdf_iter):
@@ -772,7 +774,8 @@ class Crawler:
 
         _t0 = _time.perf_counter()
         raw = self.store.write_scratch(
-            "fetch_raw_requests", run_fetch(allowed, self.web.pages_batch)
+            "fetch_raw_requests",
+            run_fetch(allowed, self.web.pages_batch, n_rows=n_claimed),
         )
         m["sec_req_fetch"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
@@ -901,7 +904,7 @@ class Crawler:
         # (falls back to pages_batch for web doubles without a renderer)
         fetch_fn = getattr(self.web, "render_batch", self.web.pages_batch)
         raw = self.store.write_scratch(
-            "fetch_raw_selenium", run_fetch(keep, fetch_fn)
+            "fetch_raw_selenium", run_fetch(keep, fetch_fn, n_rows=n_claimed)
         )
         st = self._raw_stats(raw, cfg)
         sel_rows = self._fetches_rows(raw, r, screenshot=True)
@@ -1088,6 +1091,9 @@ class Crawler:
         # compaction + escalation stats; the commit (which materializes
         # any deferred appends) is timed into the NEXT round's manifest
         # via self._last_commit_sec because metrics must be inside it
+        # drop-staged cuckoo deletes that no enqueue folded in this round
+        self.fr_req.flush_filter_removes()
+        self.fr_sel.flush_filter_removes()
         metrics["sec_round_tail"] = round(_time.perf_counter() - _t_tail, 3)
         if hasattr(self, "_last_commit_sec"):
             metrics["sec_prev_commit"] = self._last_commit_sec

@@ -91,6 +91,7 @@ def run_fetch(
     extract: bool = True,
     keep_plain_body: bool = True,
     fetch_salt: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """claimed batch → FETCH_RESULT rows via one mapInPandas pass.
 
@@ -189,14 +190,26 @@ def run_fetch(
     #   the last wave. Salting splits hot hosts across `fetch_salt`
     #   shards while batches stay mostly host-local (session reuse).
     spark = claimed.sparkSession
-    # fine-grained fetch tasks (≥12 waves' worth): per-URL work is heavy
-    # and uneven (decode pipelines, page size mix), so the stage ends on
-    # its slowest last-wave task — smaller tasks shrink that straggler
-    # tail, which is what sub-linear N→4N scaling is made of
+    # fine-grained fetch tasks (up to 12 waves' worth): per-URL work is
+    # heavy and uneven (decode pipelines, page size mix), so the stage
+    # ends on its slowest last-wave task — smaller tasks shrink that
+    # straggler tail, which is what sub-linear N→4N scaling is made of.
+    # When the caller knows the batch size (the claim stage counts it
+    # anyway), the task count is additionally bounded at ~64 rows/task:
+    # a small round does not pay 12×cores near-empty Python tasks, and a
+    # large round keeps the full 12-wave straggler protection.
     n_parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         spark.sparkContext.defaultParallelism * 12,
     )
+    if n_rows is not None:
+        n_parts = min(
+            n_parts,
+            max(
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+                -(-int(n_rows) // 64),
+            ),
+        )
     batch = claimed.repartition(
         n_parts,
         F.col("hostname"),

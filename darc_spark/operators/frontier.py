@@ -37,7 +37,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -169,11 +169,27 @@ class Frontier:
             "event_seq",
         )
         ev = adds.unionByName(snap).unionByName(tombs)
-        w = Window.partitionBy("name").orderBy(F.col("event_seq").desc())
+        # latest event per name via max_by (hash aggregate with map-side
+        # partial agg) instead of a row_number window (exchange + full
+        # sort): event_seq is unique per (name, event), so the winner is
+        # identical — but the sort disappears and pre-shuffle partial
+        # aggregation shrinks the exchange (guide §2.3)
         return (
-            ev.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & ~F.col("deleted"))
-            .drop("_rn", "deleted")
+            ev.groupBy("name")
+            .agg(
+                F.max_by(
+                    F.struct("url", "hostname", "seen_round", "deleted", "event_seq"),
+                    "event_seq",
+                ).alias("_s")
+            )
+            .filter(~F.col("_s.deleted"))
+            .select(
+                "name",
+                F.col("_s.url").alias("url"),
+                F.col("_s.hostname").alias("hostname"),
+                F.col("_s.seen_round").alias("seen_round"),
+                F.col("_s.event_seq").alias("event_seq"),
+            )
         )
 
     def _split_by_filter(self, candidates: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -308,7 +324,15 @@ class Frontier:
         return new, maybe
 
     def _update_filter(self, added: DataFrame, removed: DataFrame | None = None) -> None:
-        """Distributed per-bucket filter maintenance via cogroup."""
+        """Distributed per-bucket filter maintenance via cogroup.
+
+        Deferred deletes staged by :meth:`drop` ride along with the next
+        update (see :meth:`flush_filter_removes`)."""
+        pend = getattr(self, "_pending_filter_removes", None)
+        if pend:
+            for d in pend:
+                removed = d if removed is None else removed.unionByName(d)
+            self._pending_filter_removes = []
         kind, capacity = self.filter_kind, self.filter_capacity
         deltas = added.select(
             F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))
@@ -444,11 +468,14 @@ class Frontier:
     ) -> DataFrame:
         """Claimable rows now: latest attempt, not done/dropped/leased."""
         ev = self.store.read(self.t_frontier)
-        w = Window.partitionBy("name").orderBy(F.col("event_seq").desc())
+        # latest attempt per name: max_by hash aggregate, not a window —
+        # same winner (event_seq unique per attempt), no sort, map-side
+        # partial aggregation before the exchange (guide §2.3)
+        others = [f.name for f in FRONTIER.fields if f.name != "name"]
         latest = (
-            ev.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            ev.groupBy("name")
+            .agg(F.max_by(F.struct(*others), "event_seq").alias("_s"))
+            .select("name", *[F.col(f"_s.{c}").alias(c) for c in others])
         )
         if not ignore_done:
             # LATEST done event per name wins: each fetch pushes the
@@ -560,9 +587,24 @@ class Frontier:
             .withColumn("event_seq", F.lit(seq).cast("long")),
         )
         if update_filter and self.filter_kind == "cuckoo":
-            self._update_filter(
-                added=d.select("name").limit(0), removed=d.select("name")
+            # DEFER the cuckoo delete: a stale filter entry is only ever
+            # a false positive (the exact seen() anti-join still sees
+            # the tombstone and decides correctly), so the delete can
+            # ride the next filter update instead of paying a full
+            # cogroup+replace job per drop call. Flushed at the latest
+            # by :meth:`flush_filter_removes` (end of round).
+            self._pending_filter_removes = getattr(
+                self, "_pending_filter_removes", []
             )
+            self._pending_filter_removes.append(d.select("name"))
+
+    def flush_filter_removes(self) -> None:
+        """Apply any drop-staged cuckoo deletes that no enqueue's filter
+        update has folded in yet (one cogroup+replace, or nothing)."""
+        pend = getattr(self, "_pending_filter_removes", None)
+        if pend:
+            empty = pend[0].limit(0)
+            self._update_filter(added=empty)
 
     # -- maintenance -------------------------------------------------------------
     def rebuild_filter(self, seen: DataFrame | None = None) -> None:
@@ -575,6 +617,11 @@ class Frontier:
         Called from :meth:`compact` (the Iceberg-maintenance analogue).
         """
         kind, cfg_capacity = self.filter_kind, self.filter_capacity
+        # a rebuild from the exact seen set subsumes any drop-staged
+        # deletes (tombstoned names are already absent from seen());
+        # applying them afterwards could evict another key sharing the
+        # fingerprint slot — discard them
+        self._pending_filter_removes = []
         src = seen if seen is not None else self.seen()
         keyed = src.select(
             F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))
