@@ -1514,12 +1514,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming": q_phash_hamming,
         "crawl_rounds": q_crawl_rounds,
         "submit_fields": q_submit_fields,
+        # r5 evidence loss: submit_payloads sat LAST in this dict and
+        # was the one row missing from the driver's CORRECTNESS record
+        # (green in local gate runs) — keep it adjacent to its sibling
+        # submit_fields so a tail cap/timeout cannot silently drop it;
+        # tests/test_entry.py asserts the full 51-query census
+        "submit_payloads": q_submit_payloads,
         "robots_rules": q_robots_rules,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
         "audio_features": q_audio_features,
         "sniff_mime": q_sniff_mime,
-        "submit_payloads": q_submit_payloads,
     }
 
 

@@ -74,6 +74,17 @@ def test_every_query_runs(spark):
         assert df.schema is not None
 
 
+def test_query_census():
+    """51 queries exposed — the round-5 driver record held only 50 (the
+    then-last dict entry, submit_payloads, went missing); pin the census
+    so a silently dropped entry fails loudly here."""
+    qs = entry_mod.queries()
+    assert len(qs) == 51
+    assert "submit_payloads" in qs
+    # every oracle has a query behind it
+    assert set(entry_mod.oracle_sql()) <= set(qs)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
