@@ -163,8 +163,13 @@ class Crawler:
 
         self.clock = self.cfg.clock or _time.time
         self._round_ts: dict[int, float] = {}
+        # stale_floor: every round below it is KNOWN-stale (its ts aged
+        # past the TIME_CACHE window before being pruned from round_ts)
+        # — carried like round_ts so the history stays bounded without
+        # ever un-staling a pruned round
+        self._stale_floor: int | None = None
         for meta in self._all_manifest_metas():
-            # each commit carries the FULL round→ts history ("round_ts"),
+            # each commit carries the live round→ts history ("round_ts"),
             # so lease decisions survive expire_snapshots dropping the
             # old manifests that originally recorded those rounds; the
             # per-manifest ("round", "ts") pair covers pre-history
@@ -173,18 +178,47 @@ class Crawler:
                 self._round_ts[int(rr)] = float(ts)
             if "round" in meta and "ts" in meta:
                 self._round_ts[int(meta["round"])] = float(meta["ts"])
+            if meta.get("stale_floor") is not None:
+                sf = int(meta["stale_floor"])
+                if self._stale_floor is None or sf > self._stale_floor:
+                    self._stale_floor = sf
 
     def _commit(self, meta: dict) -> None:
         """Commit with the round→ts history attached — EVERY manifest
-        this class writes must carry the full ``round_ts`` map, or a
+        this class writes must carry the live ``round_ts`` map, or a
         later ``expire_snapshots`` surviving only that manifest would
         erase the lease timeline (hosts fetched in expired rounds would
-        permanently escape TIME_CACHE refetch)."""
+        permanently escape TIME_CACHE refetch).
+
+        The map is BOUNDED (round-5 demerit: O(rounds) manifest growth):
+        in wall-clock lease mode, rounds whose timestamp has already
+        aged past the TIME_CACHE window are pruned and replaced by the
+        scalar ``stale_floor`` — "every round below this is stale" —
+        which :meth:`_time_cache_cutoff` folds back in, so lease
+        decisions are identical while each manifest carries only the
+        rounds still inside the window."""
+        cfg = self.cfg
+        if (
+            cfg.lease_mode == "time"
+            and cfg.time_cache_seconds is not None
+            and hasattr(self, "_round_now")
+        ):
+            cutoff = self._time_cache_cutoff(self.round)
+            if cutoff is not None:
+                pruned = {
+                    rr: ts for rr, ts in self._round_ts.items() if rr >= cutoff
+                }
+                if len(pruned) < len(self._round_ts):
+                    self._round_ts = pruned
+                if self._stale_floor is None or cutoff > self._stale_floor:
+                    self._stale_floor = cutoff
         if self._round_ts:
             meta = {
                 **meta,
                 "round_ts": {str(rr): ts for rr, ts in self._round_ts.items()},
             }
+        if self._stale_floor is not None:
+            meta = {**meta, "stale_floor": self._stale_floor}
         self.store.commit(meta)
 
     def _all_manifest_metas(self) -> list[dict]:
@@ -251,7 +285,16 @@ class Crawler:
             stale = [
                 rr for rr, ts in self._round_ts.items() if ts < horizon
             ]
-            return max(stale) + 1 if stale else None
+            cut = max(stale) + 1 if stale else None
+            # fold in the carried floor: rounds pruned from round_ts
+            # were stale when pruned and stay stale forever
+            if self._stale_floor is not None:
+                cut = (
+                    self._stale_floor
+                    if cut is None
+                    else max(cut, self._stale_floor)
+                )
+            return cut
         if cfg.time_cache_rounds is not None:
             return r - cfg.time_cache_rounds
         return None

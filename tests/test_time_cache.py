@@ -311,6 +311,52 @@ def test_time_mode_history_survives_snapshot_expiry(spark, tmp_path):
     )
 
 
+def test_round_ts_history_stays_bounded(spark, tmp_path):
+    """Round-5 demerit fix: manifests must not grow O(rounds). In time
+    mode, rounds whose timestamp aged past the TIME_CACHE window are
+    pruned from the carried round_ts map and replaced by the scalar
+    stale_floor — a long crawl's latest manifest carries only the
+    window's worth of rounds, while pruned rounds stay stale forever
+    (the re-fetch behaviour asserted by the sibling tests above)."""
+    import json
+    import os
+
+    spr = 100.0
+    web = SynthWeb(seed=7, pages_per_host=20, branching=3)
+
+    cfg = CrawlConfig(
+        per_host=4, lease=2, max_retries=0, revisit=2,
+        lease_mode="time", time_cache_seconds=3 * spr,
+        clock=_stepper(spr), selenium_enabled=False, n_filter_buckets=4,
+    )
+    c = Crawler(spark, str(tmp_path / "bounded"), web, cfg)
+    c.seed(web.seeds())
+    for _ in range(10):
+        c.run_round()
+    # live entries: only rounds whose age is within the 300 s window
+    # (3 rounds' worth + the boundary round), never all 10
+    assert len(c._round_ts) <= 5, c._round_ts
+    assert c._stale_floor is not None and c._stale_floor >= 5
+    mdir = os.path.join(c.store.root, "_manifests")
+    latest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, latest)) as f:
+        meta = json.load(f)["meta"]
+    assert len(meta["round_ts"]) <= 5
+    assert int(meta["stale_floor"]) == c._stale_floor
+    # resume folds the floor back in: a pruned round is still stale
+    clock2 = _stepper(spr)
+    for _ in range(10):
+        clock2()
+    c2 = Crawler(spark, str(tmp_path / "bounded"), web, CrawlConfig(
+        per_host=4, lease=2, max_retries=0, revisit=2,
+        lease_mode="time", time_cache_seconds=3 * spr,
+        clock=clock2, selenium_enabled=False, n_filter_buckets=4,
+    ))
+    c2._round_now = clock2()
+    cut = c2._time_cache_cutoff(c2.round)
+    assert cut is not None and cut >= c._stale_floor
+
+
 def test_seed_commit_carries_round_ts_history(spark, tmp_path):
     """Re-seeding an existing crawl also commits a manifest — if THAT
     manifest is the only survivor of expire_snapshots it must still
