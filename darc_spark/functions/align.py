@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from darc_spark.functions.partitioning import fanout
-from darc_spark.functions.similarity import udot, unorm
+from darc_spark.functions.similarity import dot, norm
 from darc_spark.functions.text import h64
 
 
@@ -60,11 +60,9 @@ def caption_embedding(text: Column | str, dims: int) -> Column:
 def align_score(cap_vec: Column, img_vec: Column, dims: int = 64) -> Column:
     """Cosine between the caption and image embeddings — the same
     float64 left-to-right ``dot/(norm*norm)`` chain as the similarity
-    module (unrolled per-dimension form, bit-identical to the HOF
-    fold), so engine and oracle agree to the last ulp."""
-    return udot(cap_vec, img_vec, dims) / (
-        unorm(cap_vec, dims) * unorm(img_vec, dims)
-    )
+    module, so engine and oracle agree to the last ulp. (``dims`` kept
+    for API stability; the HOF fold reads the array width itself.)"""
+    return dot(cap_vec, img_vec) / (norm(cap_vec) * norm(img_vec))
 
 
 def align_pairs(

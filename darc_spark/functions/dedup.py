@@ -65,10 +65,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, band, min over shingles of h64(band||'#'||shingle)) rows."""
     # fanout before shingling: bands×shingles md5 hashing is the heavy
-    # per-row work, and a single-split scan would run it on one core
+    # per-row work, and a single-split scan would run it on one core.
+    # NO size(sh)>0 pre-filter: explode drops empty arrays itself, and a
+    # deterministic filter on the shingle expression would be pushed
+    # back through the repartition into the serial scan (with the whole
+    # shingle expression inlined into the pushed predicate).
     sh = fanout(df).select(
         F.col(id_col), shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
     # ONE shuffle: all band-minima in a single hash aggregate (map-side
     # partial min), then stack wide→long without another shuffle
@@ -233,13 +237,20 @@ def connected_components(
     """
     # localCheckpoint (eager) truncates lineage each iteration — the
     # standard guard for iterative DataFrame algorithms, where nesting
-    # every round's plan inside the next blows up driver-side planning
+    # every round's plan inside the next blows up driver-side planning.
+    # Checkpointed frames are bounded at the cluster's parallelism: the
+    # both-directions union otherwise materializes 2× the shuffle
+    # partition count, and every loop iteration then maps near-empty
+    # tasks over it (pure stage overhead at small edge counts; at scale
+    # defaultParallelism tracks the cluster).
+    loop_parts = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        .repartition(loop_parts, F.col("src"))
         .localCheckpoint()
     )
     labels = (

@@ -24,9 +24,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def fanout(
+    df: DataFrame, min_parts: int | None = None, barrier: bool = False
+) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism when
-    its current partitioning is narrower; identity otherwise."""
+    its current partitioning is narrower; identity otherwise.
+
+    ``barrier=True`` additionally ``cache()``s the repartitioned frame —
+    needed when the downstream work is an expensive DETERMINISTIC
+    FILTER: Catalyst pushes such predicates back through a plain
+    repartition into the (serial) scan, undoing the fanout; an
+    InMemoryRelation is a pushdown boundary. cache (not localCheckpoint)
+    keeps the logical-plan identity stable, so repeated invocations of
+    the same query reuse one materialization. The barrier only fires
+    when the fanout actually repartitioned, so a wide (at-scale) input
+    is never cached.
+    """
     sc = df.sparkSession.sparkContext
     target = int(min_parts) if min_parts else sc.defaultParallelism
     if target <= 1:
@@ -35,4 +48,7 @@ def fanout(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - planning-only failure
         return df
-    return df.repartition(target) if cur < target else df
+    if cur >= target:
+        return df
+    wide = df.repartition(target)
+    return wide.cache() if barrier else wide

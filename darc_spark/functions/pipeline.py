@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from darc_spark.functions.dedup import keep_canonical, minhash_lsh_pairs
+from darc_spark.functions.partitioning import fanout
 from darc_spark.functions.text import lang_pred as lang_pred_rule
 from darc_spark.functions.text import quality_score
 
@@ -39,7 +40,14 @@ def clean_corpus(
 
     Returns the surviving rows with ``docs``'s columns.
     """
-    scored = quality_score(docs, text_col)
+    # fanout + checkpoint before scoring: the quality/LID expressions
+    # (the tokenizer regex alone is ~1 ms/row on multi-KB documents) are
+    # the pipeline's per-row cost. A bare fanout is NOT enough — the
+    # quality filter is a deterministic predicate, so Catalyst pushes it
+    # back through the repartition into the (single-split) scan and the
+    # whole filter runs on one core again; the checkpoint is the barrier
+    # that keeps the expensive predicate on the fanned-out side (§2.5).
+    scored = quality_score(fanout(docs, barrier=True), text_col)
     kept = scored.filter(
         (F.col("quality") >= F.lit(quality_min))
         & (lang_pred_rule(F.col("stop_ratio")) == F.lit(lang_pred))
@@ -50,6 +58,13 @@ def clean_corpus(
         kept.withColumn("_min_id", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("_min_id"))
         .drop("_min_id")
+        # materialize once: the kept set feeds BOTH the MinHash
+        # signature build and the final keep_canonical anti-join —
+        # without the cut-point the whole filter+window pipeline
+        # re-executes per consumer (cache, not checkpoint: plan-identity
+        # stable, so repeat runs of the same query reuse it like the
+        # signature cache below)
+        .cache()
     )
     pairs = minhash_lsh_pairs(uniq, id_col=id_col, text_col=text_col)
     return keep_canonical(uniq, pairs, id_col=id_col)

@@ -48,40 +48,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def udot(a: Column, b: Column, dims: int) -> Column:
-    """Unrolled fixed-width dot — bit-identical to :func:`dot`.
+def dot_lit(a: Column, p: list[float]) -> Column:
+    """:func:`dot` against a literal vector.
 
-    Higher-order functions (``aggregate``/``zip_with``) are evaluated
-    interpreted, element-boxed, outside whole-stage codegen (guide §4:
-    prefer built-ins that codegen). When the width is statically known —
-    every embedding column in this engine is fixed-``dims`` — the same
-    float64 chain unrolls to ``0.0 + a₁·b₁ + a₂·b₂ + …``: addition is
-    left-associative, each product casts its operands to double first,
-    so the IEEE operation sequence (and thus every bit of the result,
-    and every downstream e6 floor) is exactly the HOF fold's, but the
-    expression compiles into the codegen stage (~10× per row measured).
-    """
-    acc: Column = F.lit(0.0)
-    for i in range(1, dims + 1):
-        acc = acc + F.element_at(a, i).cast("double") * F.element_at(
-            b, i
-        ).cast("double")
-    return acc
-
-
-def udot_lit(a: Column, p: list[float]) -> Column:
-    """Unrolled dot against a literal vector — bit-identical to
-    ``dot(a, F.array(*map(F.lit, p)))`` (same cast/fold order), with the
-    plane literals inlined per term for codegen."""
-    acc: Column = F.lit(0.0)
-    for i, v in enumerate(p, start=1):
-        acc = acc + F.element_at(a, i).cast("double") * F.lit(float(v))
-    return acc
-
-
-def unorm(a: Column, dims: int) -> Column:
-    """sqrt ∘ :func:`udot` — bit-identical to :func:`norm`."""
-    return F.sqrt(udot(a, a, dims))
+    Round-6 measurement note (kept so nobody re-tries it): unrolling
+    these fixed-width folds into per-term ``get(a,i)*lit`` chains is a
+    LOSS on Spark 4 — the HOF ``aggregate``/``zip_with`` form evaluates
+    faster (0.46 s vs 1.05 s for a 400 k-row cosine; 2.46 s vs 3.71 s
+    for an 8-plane signature), and wide chains (≥ ~1000 terms, or fewer
+    under ANSI ``element_at``) exceed the JVM's 64 KB generated-method
+    limit inside whole-stage codegen, degrading the WHOLE stage to
+    interpreted execution (measured +279 % on cosine_near_pairs). The
+    scan :func:`fanout` is what actually parallelizes these
+    expressions."""
+    return dot(a, F.array(*[F.lit(float(v)) for v in p]))
 
 
 def norm(a: Column) -> Column:
@@ -104,8 +84,8 @@ def cosine_topk(
     scored = fanout(df).select(
         F.col(id_col),
         (
-            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
-            / (unorm(F.col(vec_col), dims) * F.lit(qn))
+            dot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (norm(F.col(vec_col)) * F.lit(qn))
         ).alias("cosine"),
     )
     if exclude_id is not None:
@@ -124,7 +104,7 @@ def signature(vec_col: Column, planes: list[list[float]]) -> Column:
     one = F.lit(1).cast("long")
     for i, p in enumerate(planes):
         bit = F.when(
-            udot_lit(vec_col, p) >= 0, F.shiftleft(one, i)
+            dot_lit(vec_col, p) >= 0, F.shiftleft(one, i)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
@@ -169,8 +149,8 @@ def ann_lsh_topk(
     scored = bucket.select(
         F.col(id_col),
         (
-            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
-            / (unorm(F.col(vec_col), len(query_vec)) * F.lit(qn))
+            dot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (norm(F.col(vec_col)) * F.lit(qn))
         ).alias("cosine"),
     )
     if exclude_id is not None:
@@ -257,8 +237,8 @@ def cosine_near_pairs(
     vb = vecs.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vec_b")
     )
-    cos = udot(F.col("_vec_a"), F.col("_vec_b"), dims) / (
-        unorm(F.col("_vec_a"), dims) * unorm(F.col("_vec_b"), dims)
+    cos = dot(F.col("_vec_a"), F.col("_vec_b")) / (
+        norm(F.col("_vec_a")) * norm(F.col("_vec_b"))
     )
     return (
         cand.join(va, "id_a")
@@ -293,19 +273,17 @@ def _codeword_dists(vec: Column, book: list[list[float]]) -> Column:
     so every existing DuckDB oracle still value-matches."""
     bl = F.lit([[float(v) for v in c] for c in book])
     nl = F.lit([float(sum(x * x for x in c)) for c in book])
-    dsub = len(book[0])
-
-    def per_code(c: Column, n2: Column) -> Column:
-        # unrolled inner dot (same cast/fold order as the HOF form —
-        # see :func:`udot`); the outer zip_with stays O(1) in plan size
-        acc: Column = F.lit(0.0)
-        for i in range(1, dsub + 1):
-            acc = acc + F.element_at(vec, i).cast("double") * F.element_at(
-                c, i
-            )
-        return n2 - F.lit(2.0) * acc
-
-    return F.zip_with(bl, nl, per_code)
+    return F.zip_with(
+        bl,
+        nl,
+        lambda c, n2: n2
+        - F.lit(2.0)
+        * F.aggregate(
+            F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def _argmin_code(vec: Column, book: list[list[float]]) -> Column:
@@ -422,8 +400,8 @@ def ivf_topk_from_index(
     scored = pool.select(
         F.col(id_col),
         (
-            udot_lit(F.col(vec_col), [float(v) for v in query_vec])
-            / (unorm(F.col(vec_col), len(query_vec)) * F.lit(qn))
+            dot_lit(F.col(vec_col), [float(v) for v in query_vec])
+            / (norm(F.col(vec_col)) * F.lit(qn))
         ).alias("cosine"),
     )
     if exclude_id is not None:
@@ -477,27 +455,25 @@ def cosine_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     exclude_self: bool = True,
-    dims: int = 64,
 ) -> DataFrame:
     """Exact multi-query cosine top-k: broadcast the (small) query
     batch against the corpus and rank per query.
 
     Deliberately O(Q·N) — this is the ground-truth side of an ANN
     recall evaluation, run over a SAMPLED query batch, not a serving
-    path. Scoring is the unrolled codegen dot (:func:`udot`, bit-equal
-    to the HOF fold), run after a :func:`fanout` of the corpus scan so
-    the Q·N score stream parallelizes; ranking is the two-stage
-    per-partition prune of :func:`_topk_per_query`, so the only
-    full-size intermediate is the score stream itself.
-    Returns (q_id, id, cosine) rows, ≤ k per query.
+    path. Scoring is JVM-side ``zip_with``/``aggregate``, run after a
+    :func:`fanout` of the corpus scan so the Q·N score stream
+    parallelizes; ranking is the two-stage per-partition prune of
+    :func:`_topk_per_query`, so the only full-size intermediate is the
+    score stream itself. Returns (q_id, id, cosine) rows, ≤ k per query.
     """
     j = fanout(df).crossJoin(F.broadcast(queries_df))
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
         (
-            udot(F.col(vec_col), F.col(q_vec_col), dims)
-            / (unorm(F.col(vec_col), dims) * unorm(F.col(q_vec_col), dims))
+            dot(F.col(vec_col), F.col(q_vec_col))
+            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
         ).alias("cosine"),
     )
     if exclude_self:
@@ -559,14 +535,13 @@ def ivf_topk_batch_from_index(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
     pool = index_df.filter(F.col("cell").isin(probed))
-    dims = len(cells[0])
     j = pool.join(F.broadcast(probes), "cell")
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
         (
-            udot(F.col(vec_col), F.col(q_vec_col), dims)
-            / (unorm(F.col(vec_col), dims) * unorm(F.col(q_vec_col), dims))
+            dot(F.col(vec_col), F.col(q_vec_col))
+            / (norm(F.col(vec_col)) * norm(F.col(q_vec_col)))
         ).alias("cosine"),
     )
     if exclude_self:
@@ -583,20 +558,24 @@ def l2_topk_batch(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
     exclude_self: bool = True,
-    dims: int = 64,
 ) -> DataFrame:
     """Exact multi-query squared-L2 top-k — the ground truth the PQ/ADC
     family is measured against (ADC approximates squared L2, not
     cosine). Same O(Q·N) broadcast-scan + two-stage-rank shape as
-    :func:`cosine_topk_batch`; the unrolled per-dimension chain keeps
-    float64 left-to-right accumulation matching DuckDB's
-    ``list_reduce`` bit-for-bit. Returns (q_id, id, l2) rows."""
+    :func:`cosine_topk_batch` (fanned-out corpus scan); float64
+    left-to-right accumulation matches DuckDB's ``list_reduce``.
+    Returns (q_id, id, l2) rows."""
     j = fanout(df).crossJoin(F.broadcast(queries_df))
-    diff2: Column = F.lit(0.0)
-    for i in range(1, dims + 1):
-        xi = F.element_at(F.col(vec_col), i).cast("double")
-        yi = F.element_at(F.col(q_vec_col), i).cast("double")
-        diff2 = diff2 + (xi - yi) * (xi - yi)
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(q_vec_col),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = j.select(F.col(q_id_col), F.col(id_col), diff2.alias("l2"))
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(q_id_col))
