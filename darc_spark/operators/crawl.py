@@ -305,6 +305,9 @@ class Crawler:
         df = self.spark.createDataFrame([(u,) for u in urls], "url string")
         links = with_parsed_link(df).withColumn("backref", F.lit(None).cast("string"))
         self.fr_req.enqueue_nx(links, self.round, use_filter=self.cfg.use_seen_filter)
+        # the filter add is deferred by enqueue_nx; flush before commit
+        # so the seed segment and its filter entries publish atomically
+        self.fr_req.flush_filter_updates()
         self._commit({"round": self.round - 1, "op": "seed"})
 
     # -- state dims --------------------------------------------------------------
@@ -1134,9 +1137,10 @@ class Crawler:
         # compaction + escalation stats; the commit (which materializes
         # any deferred appends) is timed into the NEXT round's manifest
         # via self._last_commit_sec because metrics must be inside it
-        # drop-staged cuckoo deletes that no enqueue folded in this round
-        self.fr_req.flush_filter_removes()
-        self.fr_sel.flush_filter_removes()
+        # deferred filter maintenance (enqueue adds + drop deletes):
+        # one cogroup+replace per frontier per round, inside the commit
+        self.fr_req.flush_filter_updates()
+        self.fr_sel.flush_filter_updates()
         metrics["sec_round_tail"] = round(_time.perf_counter() - _t_tail, 3)
         if hasattr(self, "_last_commit_sec"):
             metrics["sec_prev_commit"] = self._last_commit_sec

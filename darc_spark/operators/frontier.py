@@ -414,6 +414,25 @@ class Frontier:
         candidates = links.select(*_LINK_COLS).dropDuplicates(["name"])
         if use_filter:
             definitely_new, maybe = self._split_by_filter(candidates)
+            # names whose filter ADD is still deferred (enqueued earlier
+            # this round, or dropped since) are invisible to the
+            # prefilter — route them to the MAYBE side, exactly as a
+            # filter hit would, so the exact seen() check decides
+            # (tombstoned names must still be re-addable); NX stays
+            # EXACT between flushes
+            pend = getattr(self, "_pending_filter_adds", None) or []
+            if pend:
+                pend_names = pend[0]
+                for seg in pend[1:]:
+                    pend_names = pend_names.unionByName(seg)
+                maybe = maybe.unionByName(
+                    definitely_new.join(pend_names, "name", "left_semi").select(
+                        *maybe.columns
+                    )
+                )
+                definitely_new = definitely_new.join(
+                    pend_names, "name", "left_anti"
+                )
             confirmed_new = maybe.join(self.seen().select("name"), "name", "left_anti")
             fresh = definitely_new.unionByName(confirmed_new)
         else:
@@ -429,10 +448,22 @@ class Frontier:
         self.store.append(self.t_frontier, rows)
         # the frontier segment IS the url_seen add event (seen() is a
         # view); filter updates read the *written* segment — one
-        # computation of the anti-join, no recompute divergence
+        # computation of the anti-join, no recompute divergence.
+        # The filter ADD itself is DEFERRED to one end-of-round flush
+        # (like the drop-side deletes): between enqueues the filter can
+        # miss this batch's names, so a same-round re-extraction may
+        # append a duplicate attempt row — but that row is IDENTICAL
+        # (same round ⇒ same not_before/enqueue_round) and every
+        # latest-per-name resolution (pending/seen/claim) is unchanged,
+        # while each round pays ONE cogroup+replace instead of one per
+        # enqueue, and the broadcast filter-check cache stays valid
+        # across the round's enqueues.
         if use_filter:
             written = self._staged_tail(self.t_frontier)
-            self._update_filter(written.select("name"))
+            self._pending_filter_adds = getattr(
+                self, "_pending_filter_adds", []
+            )
+            self._pending_filter_adds.append(written.select("name"))
 
     def _staged_tail(self, table: str) -> DataFrame:
         import os
@@ -598,13 +629,24 @@ class Frontier:
             )
             self._pending_filter_removes.append(d.select("name"))
 
-    def flush_filter_removes(self) -> None:
-        """Apply any drop-staged cuckoo deletes that no enqueue's filter
-        update has folded in yet (one cogroup+replace, or nothing)."""
-        pend = getattr(self, "_pending_filter_removes", None)
-        if pend:
-            empty = pend[0].limit(0)
-            self._update_filter(added=empty)
+    def flush_filter_updates(self) -> None:
+        """Apply the round's deferred filter maintenance — enqueue-side
+        adds and drop-side cuckoo deletes — as ONE cogroup+replace (or
+        nothing when the round had neither)."""
+        adds = getattr(self, "_pending_filter_adds", None) or []
+        removes = getattr(self, "_pending_filter_removes", None) or []
+        if not adds and not removes:
+            return
+        self._pending_filter_adds = []
+        added = None
+        for d in adds:
+            added = d if added is None else added.unionByName(d)
+        if added is None:
+            added = removes[0].limit(0)
+        self._update_filter(added=added)
+
+    # backwards-compatible alias (pre-round-6 name)
+    flush_filter_removes = flush_filter_updates
 
     # -- maintenance -------------------------------------------------------------
     def rebuild_filter(self, seen: DataFrame | None = None) -> None:
@@ -617,11 +659,13 @@ class Frontier:
         Called from :meth:`compact` (the Iceberg-maintenance analogue).
         """
         kind, cfg_capacity = self.filter_kind, self.filter_capacity
-        # a rebuild from the exact seen set subsumes any drop-staged
-        # deletes (tombstoned names are already absent from seen());
-        # applying them afterwards could evict another key sharing the
-        # fingerprint slot — discard them
+        # a rebuild from the exact seen set subsumes ALL deferred
+        # maintenance: staged adds are in seen() (read_all view), and
+        # tombstoned names are already absent from it; applying stale
+        # deletes afterwards could evict another key sharing the
+        # fingerprint slot — discard both
         self._pending_filter_removes = []
+        self._pending_filter_adds = []
         src = seen if seen is not None else self.seen()
         keyed = src.select(
             F.pmod(F.xxhash64("name"), F.lit(self.n_filter_buckets))

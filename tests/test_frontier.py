@@ -233,10 +233,14 @@ def test_filter_saturation_degrades_then_rebuilds(spark, tmp_path):
     )
     first = [f"http://a.example/p{i}" for i in range(10)]
     fr.enqueue_nx(_links(spark, first), 0)
+    # enqueue-side filter adds are deferred (round-6): direct Frontier
+    # drivers flush before commit, like Crawler does once per round
+    fr.flush_filter_updates()
     fr.store.commit()
     # second large batch overflows the small per-bucket filters
     second = [f"http://b.example/q{i}" for i in range(500)]
     fr.enqueue_nx(_links(spark, second), 1)
+    fr.flush_filter_updates()
     fr.store.commit()
     stats = fr.filter_stats()
     assert stats["filter_saturated"] > 0  # degraded, by design
