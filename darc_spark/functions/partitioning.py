@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame
 
 
 def fanout(
-    df: DataFrame, min_parts: int | None = None, barrier: bool = False
+    df: DataFrame,
+    min_parts: int | None = None,
+    barrier: bool = False,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism when
     its current partitioning is narrower; identity otherwise.
@@ -39,6 +42,20 @@ def fanout(
     the same query reuse one materialization. The barrier only fires
     when the fanout actually repartitioned, so a wide (at-scale) input
     is never cached.
+
+    ``min_bytes > 0`` makes the fanout size-adaptive (guide §2:
+    "derive partitioning from input size, not a constant"): when the
+    optimizer's size estimate for ``df`` is below the threshold, the
+    exchange is skipped — at local scale a repartition of a sub-MB
+    frame costs a fixed ~0.2-1 s (extra AQE stage + task waves) that
+    exceeds the serial evaluation it would parallelize (measured:
+    ann_lsh 0.63 s serial vs 1.22 s fanned on a 0.8 MB corpus).
+    Callers set the threshold from their per-row cost model — only
+    cheap-per-byte paths (vector arithmetic) should pass one;
+    expensive-per-row paths (document tokenization) should not. When
+    the estimate is unavailable the fanout proceeds (the safe direction
+    at scale). At 100-TB scale the whole function is a no-op either
+    way: real inputs carry more splits than cores.
     """
     sc = df.sparkSession.sparkContext
     target = int(min_parts) if min_parts else sc.defaultParallelism
@@ -50,5 +67,14 @@ def fanout(
         return df
     if cur >= target:
         return df
+    if min_bytes > 0:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - internal-API drift
+            est = None
+        if est is not None and 0 <= est < min_bytes:
+            return df
     wide = df.repartition(target)
     return wide.cache() if barrier else wide

@@ -21,11 +21,25 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from darc_spark.functions.partitioning import fanout
+
+# Size floor for the per-query serving fanouts (signature planes, exact
+# scoring): vector arithmetic is cheap per byte (~µs/row), so below this
+# estimate the serial evaluation beats the fixed cost of an extra
+# exchange+AQE stage (measured on a 0.8 MB / 2000-vector corpus: the
+# fanned plan is 0.2-1.0 s SLOWER per query). Index BUILDS keep the
+# unconditional fanout — they are one-time and their multi-file output
+# layout is what parallelizes the serving scans. Parameterized for
+# clusters (env), local default 2 MB; at 100-TB scale inputs dwarf any
+# threshold and fanout is a no-op regardless.
+_SERVE_FANOUT_MIN_BYTES = int(
+    os.environ.get("DARC_SPARK_FANOUT_MIN_BYTES", str(2 << 20))
+)
 
 
 def plane(i: int, dims: int) -> list[float]:
@@ -81,7 +95,7 @@ def cosine_topk(
     # used — bit-identical literal, zero per-row work
     qn = math.sqrt(_dot_py(query_vec, query_vec))
     dims = len(query_vec)
-    scored = fanout(df).select(
+    scored = fanout(df, min_bytes=_SERVE_FANOUT_MIN_BYTES).select(
         F.col(id_col),
         (
             dot_lit(F.col(vec_col), [float(v) for v in query_vec])
@@ -119,8 +133,10 @@ def lsh_signatures(
 ) -> DataFrame:
     planes = [plane(i, dims) for i in range(n_bits)]
     # fanout before the n_bits×dims signature expression: a single-split
-    # scan would otherwise compute every plane dot on one core (§2.5)
-    return fanout(df).select(
+    # scan would otherwise compute every plane dot on one core (§2.5);
+    # size-gated — below the floor the serial plan is cheaper than the
+    # exchange (and every consumer is partitioning-transparent)
+    return fanout(df, min_bytes=_SERVE_FANOUT_MIN_BYTES).select(
         F.col(id_col), F.col(vec_col), signature(F.col(vec_col), planes).alias("sig")
     )
 

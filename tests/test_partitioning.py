@@ -33,6 +33,21 @@ def test_fanout_is_identity_on_wide_input(spark):
     assert out is df
 
 
+def test_fanout_min_bytes_skips_small_input(spark):
+    """Size-adaptive serving fanout: below the estimate floor the
+    exchange is skipped (serial evaluation is cheaper), above it the
+    repartition fires; results identical either way."""
+    df = spark.range(0, 1000).coalesce(1)
+    small = fanout(df, min_parts=4, min_bytes=1 << 40)  # floor > any est
+    assert small is df
+    big = fanout(df, min_parts=4, min_bytes=1)  # floor below the est
+    assert big is not df
+    assert big.rdd.getNumPartitions() >= 4
+    assert sorted(r[0] for r in big.collect()) == sorted(
+        r[0] for r in small.collect()
+    )
+
+
 def test_literal_query_norm_bitwise_equals_inplan_norm(spark):
     """cosine scorers ship norm(q) as a driver-computed literal; it must
     equal sqrt(aggregate(zip_with(q,q,*),0.0,+)) to the last bit."""
