@@ -781,6 +781,7 @@ class Crawler:
 
         cfg = self.cfg
         _t0 = _time.perf_counter()
+        self._label(r, "requests:claim")
         claimed = self.fr_req.claim(
             r,
             per_host=cfg.per_host,
@@ -796,6 +797,7 @@ class Crawler:
         if n_claimed == 0:
             return m
         _t0 = _time.perf_counter()
+        self._label(r, "requests:gate")
         kept_acc: list[DataFrame] = []
         special_acc: list[DataFrame] = []
         fresh_docs = self._new_host_gate(keep, r, kept_acc, special_acc)
@@ -819,12 +821,14 @@ class Crawler:
         m["sec_req_gate"] = round(_time.perf_counter() - _t0, 3)
 
         _t0 = _time.perf_counter()
+        self._label(r, "requests:fetch")
         raw = self.store.write_scratch(
             "fetch_raw_requests",
             run_fetch(allowed, self.web.pages_batch, n_rows=n_claimed),
         )
         m["sec_req_fetch"] = round(_time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
+        self._label(r, "requests:route")
         st = self._raw_stats(raw, cfg)
         m["fetched_requests"] = float(st["n"])
 
@@ -933,8 +937,15 @@ class Crawler:
         m["sec_req_route"] = round(_time.perf_counter() - _t0, 3)
         return m
 
+    def _label(self, r: int, stage: str) -> None:
+        """Guide §1.5: label the bucket's jobs so event-log profiles
+        (bench_extra.py jobs) attribute wall time without guesswork.
+        Observability-only — thread-local description, no plan effect."""
+        self.spark.sparkContext.setJobDescription(f"crawl r{r} {stage}")
+
     def _selenium_stage(self, r: int) -> dict[str, float]:
         cfg = self.cfg
+        self._label(r, "selenium:claim")
         claimed = self.fr_sel.claim(
             r,
             per_host=cfg.per_host,
@@ -949,9 +960,11 @@ class Crawler:
         # loader-stage fetch: render_batch adds the screenshot artifact
         # (falls back to pages_batch for web doubles without a renderer)
         fetch_fn = getattr(self.web, "render_batch", self.web.pages_batch)
+        self._label(r, "selenium:render")
         raw = self.store.write_scratch(
             "fetch_raw_selenium", run_fetch(keep, fetch_fn, n_rows=n_claimed)
         )
+        self._label(r, "selenium:route")
         st = self._raw_stats(raw, cfg)
         sel_rows = self._fetches_rows(raw, r, screenshot=True)
         self.store.append("fetches_selenium", sel_rows)
@@ -1021,6 +1034,7 @@ class Crawler:
         )
 
         sink = self.submit_sink
+        self._label(r, "submit")
         m: dict[str, float] = {}
         # read-your-writes: round r's hostname_state rows are staged until
         # the end-of-round commit — a committed-only read would make this
@@ -1082,6 +1096,7 @@ class Crawler:
             metrics.update(self._submit_stage(r))
             metrics["sec_submit"] = round(_time.perf_counter() - _t0, 3)
         _t_tail = _time.perf_counter()
+        self._label(r, "tail")
         # metrics ride in the manifest meta (no extra write job); the
         # metrics() accessor rebuilds the table from manifests on demand
         if self.cfg.compact_every and (r + 1) % self.cfg.compact_every == 0:
@@ -1145,8 +1160,10 @@ class Crawler:
         if hasattr(self, "_last_commit_sec"):
             metrics["sec_prev_commit"] = self._last_commit_sec
         _t0 = _time.perf_counter()
+        self._label(r, "commit")
         self._commit({"round": r, "metrics": metrics, "ts": self._round_now})
         self._last_commit_sec = round(_time.perf_counter() - _t0, 3)
+        self.spark.sparkContext.setJobDescription(None)
         self.round = r + 1
         # between-round hooks (darc/process.py:45-75); WorkerBreak requests
         # a graceful stop AFTER this committed round — metrics are kept.
